@@ -1,0 +1,219 @@
+"""Evolution driver: the main simulation loop.
+
+TPU-native counterpart of Parthenon's ``EvolutionDriver``/``MultiStageDriver``
+plus AthenaPK's ``HydroDriver`` (``src/hydro/hydro_driver.cpp:34-41``):
+
+* per cycle: update c_h from the previous hyperbolic dt (the reference's
+  ``PreStepMeshUserWorkInLoop`` global reduction, ``src/hydro/hydro.cpp:
+  102-143``), run the jitted multi-stage ``step``, estimate the next dt
+  (growth-capped at 2x), trigger outputs.
+* throughput accounting prints ``zone-cycles/wallsecond`` at the end, with
+  ``perf_cycle_offset`` warm-up exclusion — the exact protocol parsed by the
+  reference performance suite (``tst/regression/test_suites/performance/
+  performance.py:95-96``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.parameter_input import ParameterInput
+from .core.mesh import Mesh
+from .eos.adiabatic import EOS
+from .outputs.hdf5 import write_phdf
+from .outputs.history import HistoryOutput
+from .pgen import get_pgen
+from .solver.hydro_pkg import HydroConfig, HydroPackage
+
+
+class Simulation:
+    """Owns mesh, package, state, and the time loop."""
+
+    def __init__(self, pin: ParameterInput, base_name: Optional[str] = None,
+                 quiet: bool = False):
+        self.pin = pin
+        self.quiet = quiet
+        self.problem_id = pin.get_string("job", "problem_id")
+        self.base_name = base_name or self.problem_id
+
+        self.mesh = Mesh.from_parameter_input(pin)
+        self.cfg = HydroConfig.from_parameter_input(pin)
+        self.eos = EOS.from_parameter_input(pin)
+        self.pgen = get_pgen(self.problem_id)
+
+        src_unsplit = getattr(self.pgen, "problem_source_unsplit", None)
+        if src_unsplit is not None:
+            src_unsplit = src_unsplit(pin, self.mesh, self.cfg, self.eos)
+        self.pkg = HydroPackage(self.mesh, self.cfg, self.eos,
+                                problem_source_unsplit=src_unsplit)
+
+        # time integration controls (<parthenon/time>)
+        t = "parthenon/time"
+        self.tlim = pin.get_real(t, "tlim")
+        self.nlim = pin.get_or_add_integer(t, "nlim", -1)
+        self.perf_cycle_offset = pin.get_or_add_integer(
+            t, "perf_cycle_offset", 0)
+        self.ncycle_out = pin.get_or_add_integer(t, "ncycle_out", 1)
+
+        # initial state
+        u = jnp.asarray(self.pgen.problem_generator(
+            pin, self.mesh, self.cfg, self.eos))
+        u = self.pkg.apply_boundaries(u)
+        self.u = u
+        self.t = 0.0
+        self.ncycle = 0
+        self.tm_dt = None  # set by _estimate
+
+        # outputs
+        self.outputs = []
+        for blk in pin.output_blocks():
+            ftype = pin.get_string(blk, "file_type")
+            dt_out = pin.get_or_add_real(blk, "dt", -1.0)
+            oid = pin.get_or_add_string(blk, "id", blk.rsplit("output", 1)[-1])
+            if ftype == "hst":
+                self.outputs.append(HistoryOutput(
+                    f"{self.base_name}.out{oid}.hst", self.cfg.fluid, dt_out))
+            elif ftype == "hdf5":
+                var = pin.get_or_add_string(blk, "variables", "cons")
+                sp = pin.get_or_add_bool(blk, "single_precision_output", False)
+                self.outputs.append(_Hdf5Output(
+                    self.base_name, oid, var, dt_out, sp))
+
+        self._dump_count = {}
+
+    # ------------------------------------------------------------------ steps
+    def _estimate(self):
+        _, prim = self.pkg.cons_to_prim(self.u)
+        dt, dt_hyp = self.pkg.estimate_timestep(prim)
+        pe = getattr(self.pgen, "estimate_timestep", None)
+        if pe is not None:
+            dt = jnp.minimum(dt, pe(self.pin, self.mesh, self.cfg, self.eos,
+                                    prim, self.t))
+        return dt, dt_hyp
+
+    def _do_outputs(self, force=False):
+        if not self.outputs:
+            return
+        u_np = None
+        w_np = None
+        for out in self.outputs:
+            if not (force or out.due(self.t)):
+                continue
+            if u_np is None:
+                u_j, w_j = self.pkg.cons_to_prim(self.u)
+                u_np, w_np = u_j, w_j
+            out.write(self.t, self.tm_dt if self.tm_dt is not None else 0.0,
+                      u_np, w_np, self.mesh)
+
+    # ------------------------------------------------------------------- run
+    def run(self):
+        dt, dt_hyp = self._estimate()
+        dt = float(dt)
+        self.tm_dt = dt
+        self._do_outputs()
+
+        zones = self.mesh.nx1 * self.mesh.nx2 * self.mesh.nx3
+        perf_cycles = 0
+        perf_start = None
+
+        while self.t < self.tlim and (self.nlim < 0 or self.ncycle < self.nlim):
+            if self.ncycle == self.perf_cycle_offset:
+                # block on pending work before starting the perf clock
+                self.u.block_until_ready()
+                perf_start = time.time()
+            dt_eff = min(dt, self.tlim - self.t)
+            c_h = self.pkg.c_h_from_dt_hyp(float(dt_hyp))
+            self.u = self.pkg.step(self.u, dt_eff, c_h, self.t)
+            self.t += dt_eff
+            self.ncycle += 1
+            if perf_start is not None:
+                perf_cycles += 1
+            self.tm_dt = dt_eff
+
+            dt_new, dt_hyp = self._estimate()
+            dt = min(2.0 * dt, float(dt_new))
+
+            if not self.quiet and self.ncycle_out > 0 and \
+                    self.ncycle % self.ncycle_out == 0:
+                print(f"cycle={self.ncycle} time={self.t:.8e} dt={dt_eff:.8e}",
+                      flush=True)
+            self._do_outputs()
+
+        self.u.block_until_ready()
+        if perf_start is not None and perf_cycles > 0:
+            wall = time.time() - perf_start
+            zc_per_s = zones * perf_cycles / wall
+            print(f"walltime used = {wall:.6e}")
+            print(f"zone-cycles/wallsecond = {zc_per_s:.6e}", flush=True)
+
+        self._do_outputs(force=True)
+        after = getattr(self.pgen, "user_work_after_loop", None)
+        if after is not None:
+            after(self.pin, self.mesh, self.cfg, self.eos, self)
+        return self
+
+    # ------------------------------------------------------------- accessors
+    def prim(self):
+        _, w = self.pkg.cons_to_prim(self.u)
+        return np.asarray(w)
+
+    def cons(self):
+        u, _ = self.pkg.cons_to_prim(self.u)
+        return np.asarray(u)
+
+
+class _Hdf5Output:
+    def __init__(self, base_name, oid, variables, dt, single_precision):
+        self.base_name = base_name
+        self.oid = oid
+        self.variables = variables
+        self.dt = dt
+        self.single_precision = single_precision
+        self.next_time = 0.0
+        self.count = 0
+
+    def due(self, t):
+        return self.dt >= 0.0 and t >= self.next_time
+
+    def write(self, t, dt, u, w, mesh):
+        fname = f"{self.base_name}.out_{self.oid}.{self.count:05d}.phdf"
+        kw = {}
+        if "cons" in self.variables:
+            kw["cons"] = np.asarray(u)
+        if "prim" in self.variables:
+            kw["prim"] = np.asarray(w)
+        from .core.indices import GLMMHD, NGLMMHD, NHYDRO  # noqa
+        fluid = "glmmhd" if u.shape[1] >= NGLMMHD else "euler"
+        write_phdf(fname, mesh, fluid, t, dt, self.count,
+                   single_precision=self.single_precision, **kw)
+        self.count += 1
+        while self.next_time <= t:
+            self.next_time += self.dt
+
+
+def run_from_file(path: str, overrides=None, quiet=False) -> Simulation:
+    pin = ParameterInput.from_file(path, overrides)
+    return Simulation(pin, quiet=quiet).run()
+
+
+def main(argv=None):  # CLI: python -m athenapk_tpu.driver -i deck.in [ovr...]
+    argv = argv if argv is not None else sys.argv[1:]
+    if "-i" not in argv:
+        print("usage: python -m athenapk_tpu.driver -i input.in "
+              "[block/key=value ...]")
+        return 1
+    i = argv.index("-i")
+    path = argv[i + 1]
+    overrides = [a for a in argv[:i] + argv[i + 2:] if "=" in a]
+    run_from_file(path, overrides)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

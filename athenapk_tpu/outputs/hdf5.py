@@ -1,0 +1,129 @@
+"""Block-structured HDF5 dumps (``.phdf``) and restart files.
+
+Serves the role of Parthenon's HDF5 outputs (reference ``docs/input.md``
+output blocks; written per ``<parthenon/output*>`` deck block with
+``file_type = hdf5``).  The schema is a compact block-structured layout:
+
+  /Info            attrs: Time, dt, NCycle, NumMeshBlocks, MeshBlockSize,
+                   NGhost, Coordinates, ProblemId, Fluid
+  /Locations/{x,y,z}   cell-center coordinates [nblocks, n_interior]
+  /cons | /prim    [nblocks, nvar, nz, ny, nx] interior data (f64 or f32)
+  /VarNames_{cons,prim}  component labels
+
+``read_phdf`` is the matching reader used by the regression suites (the
+reference reads its dumps with Parthenon's ``phdf`` Python class; we ship
+our own equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..core.indices import GLMMHD
+from ..core.mesh import Mesh
+
+_CONS_NAMES = {
+    "euler": ["dens", "mom1", "mom2", "mom3", "ener"],
+    "glmmhd": ["dens", "mom1", "mom2", "mom3", "ener",
+               "B1", "B2", "B3", "psi"],
+}
+_PRIM_NAMES = {
+    "euler": ["rho", "vel1", "vel2", "vel3", "pres"],
+    "glmmhd": ["rho", "vel1", "vel2", "vel3", "pres",
+               "B1", "B2", "B3", "psi"],
+}
+
+
+def write_phdf(filename: str, mesh: Mesh, fluid: str, t, dt, ncycle,
+               cons: Optional[np.ndarray] = None,
+               prim: Optional[np.ndarray] = None,
+               single_precision: bool = False,
+               extra_params: Optional[dict] = None):
+    import h5py
+
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    sl = mesh.interior_slices
+    out_dtype = np.float32 if single_precision else np.float64
+    with h5py.File(filename, "w") as fh:
+        info = fh.create_group("Info")
+        info.attrs["Time"] = float(t)
+        info.attrs["dt"] = float(dt)
+        info.attrs["NCycle"] = int(ncycle)
+        info.attrs["NumMeshBlocks"] = mesh.nblocks
+        info.attrs["MeshBlockSize"] = np.asarray(
+            [mesh.mbnx1, mesh.mbnx2, mesh.mbnx3])
+        info.attrs["RootGridSize"] = np.asarray([mesh.nx1, mesh.nx2, mesh.nx3])
+        info.attrs["RootGridDomain"] = np.asarray(
+            [mesh.x1min, mesh.x1max, mesh.x2min, mesh.x2max,
+             mesh.x3min, mesh.x3max])
+        info.attrs["NGhost"] = mesh.nghost
+        info.attrs["Coordinates"] = "UniformCartesian"
+        if extra_params:
+            par = fh.create_group("Params")
+            for k, v in extra_params.items():
+                par.attrs[k] = v
+
+        x, y, z = mesh.cell_centers()
+        loc = fh.create_group("Locations")
+        loc.create_dataset("x", data=x[:, mesh.ng1:mesh.ng1 + mesh.mbnx1])
+        loc.create_dataset("y", data=y[:, mesh.ng2:mesh.ng2 + mesh.mbnx2])
+        loc.create_dataset("z", data=z[:, mesh.ng3:mesh.ng3 + mesh.mbnx3])
+
+        for name, arr, labels in (("cons", cons, _CONS_NAMES),
+                                  ("prim", prim, _PRIM_NAMES)):
+            if arr is None:
+                continue
+            data = np.asarray(arr)[sl].astype(out_dtype)
+            fh.create_dataset(name, data=data)
+            base = labels[fluid]
+            nscal = data.shape[1] - len(base)
+            names = base + [f"scalar{i}" for i in range(nscal)]
+            fh.create_dataset(
+                f"VarNames_{name}",
+                data=np.array([s.encode() for s in names]))
+
+
+class PhdfData:
+    """Loaded dump: attributes mirror what the regression suites need."""
+
+    def __init__(self, filename):
+        import h5py
+
+        with h5py.File(filename, "r") as fh:
+            info = fh["Info"].attrs
+            self.time = float(info["Time"])
+            self.ncycle = int(info["NCycle"])
+            self.num_blocks = int(info["NumMeshBlocks"])
+            self.block_size = tuple(info["MeshBlockSize"])
+            self.root_grid = tuple(info["RootGridSize"])
+            self.domain = tuple(info["RootGridDomain"])
+            self.x = fh["Locations/x"][()]
+            self.y = fh["Locations/y"][()]
+            self.z = fh["Locations/z"][()]
+            self.data = {}
+            self.var_names = {}
+            for name in ("cons", "prim"):
+                if name in fh:
+                    self.data[name] = fh[name][()]
+                    self.var_names[name] = [
+                        s.decode() for s in fh[f"VarNames_{name}"][()]]
+
+    def flat(self, kind: str):
+        """Reassemble blocks into one global array [nvar, NZ, NY, NX].
+
+        Assumes the regular block ordering of ``Mesh`` (x fastest).
+        """
+        arr = self.data[kind]
+        nb, nvar, bz, by, bx = arr.shape
+        nx1, nx2, nx3 = self.root_grid
+        n1, n2, n3 = nx1 // bx, nx2 // by, nx3 // bz
+        grid = arr.reshape(n3, n2, n1, nvar, bz, by, bx)
+        grid = grid.transpose(3, 0, 4, 1, 5, 2, 6)
+        return grid.reshape(nvar, nx3, nx2, nx1)
+
+
+def read_phdf(filename) -> PhdfData:
+    return PhdfData(filename)

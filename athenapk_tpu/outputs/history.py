@@ -1,0 +1,92 @@
+"""History (.hst) output: volume-integrated scalar reductions over time.
+
+Mirrors the reference's history machinery (``HistoryOutputVar`` registration
+at ``src/hydro/hydro.cpp:422-441`` and Parthenon's ``.hst`` ASCII writer):
+a CSV-ish text file with a commented header, one row per history dump.
+
+Default columns match AthenaPK's Hydro package history: time, dt, mass,
+1/2/3-mom, KE, total E, (ME, relative divB for MHD).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.indices import (IDN, IM1, IM2, IM3, IEN, IB1, IB2, IB3, GLMMHD)
+
+
+def hydro_history_columns(fluid: str):
+    """(label, reduction, fn(prim_or_cons views, mesh) -> scalar) list."""
+    cols: List[Tuple[str, Callable]] = []
+
+    def vol_sum(q, mesh):
+        return jnp.sum(q) * mesh.cell_volume
+
+    cols.append(("mass", lambda u, w, mesh: vol_sum(u[:, IDN], mesh)))
+    cols.append(("1-mom", lambda u, w, mesh: vol_sum(u[:, IM1], mesh)))
+    cols.append(("2-mom", lambda u, w, mesh: vol_sum(u[:, IM2], mesh)))
+    cols.append(("3-mom", lambda u, w, mesh: vol_sum(u[:, IM3], mesh)))
+    cols.append(("KE", lambda u, w, mesh: vol_sum(
+        0.5 * (u[:, IM1] ** 2 + u[:, IM2] ** 2 + u[:, IM3] ** 2) / u[:, IDN],
+        mesh)))
+    cols.append(("tot-E", lambda u, w, mesh: vol_sum(u[:, IEN], mesh)))
+    if fluid == GLMMHD:
+        cols.append(("ME", lambda u, w, mesh: vol_sum(
+            0.5 * (u[:, IB1] ** 2 + u[:, IB2] ** 2 + u[:, IB3] ** 2), mesh)))
+        cols.append(("relDivB", _rel_divb))
+    return cols
+
+
+def _rel_divb(u, w, mesh):
+    """Volume-averaged relative divB
+    (cell-centered central differences; ``HydroHst`` at hydro.cpp:145-208)."""
+    import jax.numpy as jnp
+    from ..solver.hydro_pkg import _AXIS_OF_DIR
+
+    b = [u[:, IB1], u[:, IB2], u[:, IB3]]
+    bmag = jnp.sqrt(b[0] ** 2 + b[1] ** 2 + b[2] ** 2)
+    divb = jnp.zeros_like(b[0])
+    dims = [1] + ([2] if mesh.nx2 > 1 else []) + ([3] if mesh.nx3 > 1 else [])
+    for d in dims:
+        ax = _AXIS_OF_DIR[d] - 1  # u[:, var] drops the var axis
+        divb = divb + (jnp.roll(b[d - 1], -1, axis=ax)
+                       - jnp.roll(b[d - 1], 1, axis=ax)) / (2 * mesh.dx[d - 1])
+    sl = tuple([slice(None)] + list(mesh.interior_slices[2:]))
+    num = jnp.sum(jnp.abs(divb[sl]) * mesh.min_dx)
+    den = jnp.sum(bmag[sl]) + 1e-30  # guard representable under TPU f64 emulation
+    return num / den
+
+
+class HistoryOutput:
+    def __init__(self, filename: str, fluid: str, dt: float,
+                 extra_columns: Sequence = ()):
+        self.filename = filename
+        self.dt = dt
+        self.columns = hydro_history_columns(fluid) + list(extra_columns)
+        self.next_time = 0.0
+        self._wrote_header = False
+
+    def due(self, t: float) -> bool:
+        return self.dt >= 0.0 and t >= self.next_time
+
+    def write(self, t, dt, u, w, mesh):
+        if not self._wrote_header:
+            os.makedirs(os.path.dirname(self.filename) or ".", exist_ok=True)
+            with open(self.filename, "w") as fh:
+                fh.write("#  History data\n")
+                labels = ["[1]=time", "[2]=dt"] + [
+                    f"[{i + 3}]={label}" for i, (label, _) in
+                    enumerate(self.columns)]
+                fh.write("# " + "  ".join(labels) + "\n")
+            self._wrote_header = True
+        vals = [float(fn(u, w, mesh)) for (_, fn) in self.columns]
+        with open(self.filename, "a") as fh:
+            row = [f"{float(t):.14e}", f"{float(dt):.14e}"] + [
+                f"{v:.14e}" for v in vals]
+            fh.write("  ".join(row) + "\n")
+        while self.next_time <= t:
+            self.next_time += self.dt

@@ -1,0 +1,268 @@
+"""The Hydro package: flux sweeps, stage updates, timestep, full cycle step.
+
+This is the TPU-native counterpart of AthenaPK's Hydro package + driver
+(``src/hydro/hydro.cpp`` ``Hydro::Initialize``/``CalculateFluxes`` and
+``src/hydro/hydro_driver.cpp`` ``HydroDriver::MakeTaskCollection``): the
+reference's compile-time (fluid x reconstruction x riemann) template table
+becomes Python closure specialization, and the per-stage task list becomes
+straight-line traced code inside one jitted ``step``.
+
+State layout: conserved ``u`` is ``[nblocks, nvar, NZ, NY, NX]`` (ghost-
+inclusive); fluxes are co-indexed with cells (index i = face i-1/2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.boundaries import make_boundary_fn
+from ..core.indices import (AXIS_X, AXIS_Y, AXIS_Z, IDN, IPR, IPS, EULER,
+                            GLMMHD, nvar_for_fluid)
+from ..core.mesh import Mesh
+from ..eos.adiabatic import EOS, cons_to_prim, fast_magnetosonic_speed
+from ..recon import reconstruct
+from ..riemann import solve_riemann
+from .integrators import INTEGRATORS
+
+_AXIS_OF_DIR = {1: AXIS_X, 2: AXIS_Y, 3: AXIS_Z}
+
+
+@dataclasses.dataclass(frozen=True)
+class HydroConfig:
+    """Static solver configuration (the reference's <hydro> + <parthenon/time>
+    options, ``src/hydro/hydro.cpp:264-470``)."""
+
+    fluid: str = EULER                # euler | glmmhd
+    reconstruction: str = "plm"       # dc | plm | ppm | weno3 | limo3 | wenoz
+    riemann: str = "hlle"             # llf | hlle | hllc | hlld | none
+    integrator: str = "vl2"           # rk1 | rk2 | rk3 | vl2
+    cfl: float = 0.3
+    nscalars: int = 0
+    glmmhd_source: str = "dedner_plain"   # dedner_plain | dedner_extended
+    glmmhd_alpha: float = 0.1
+    calc_dt_hyp: bool = True
+    max_dt: float = -1.0
+    first_order_flux_correct: bool = False
+    dtype: str = "float64"
+
+    @property
+    def nvar(self) -> int:
+        return nvar_for_fluid(self.fluid, self.nscalars)
+
+    @classmethod
+    def from_parameter_input(cls, pin) -> "HydroConfig":
+        h = "hydro"
+        fluid = pin.get_string(h, "fluid")
+        if fluid not in (EULER, GLMMHD):
+            raise ValueError(f"unknown fluid '{fluid}'")
+        return cls(
+            fluid=fluid,
+            reconstruction=pin.get_string(h, "reconstruction"),
+            riemann=pin.get_string(h, "riemann"),
+            integrator=pin.get_string("parthenon/time", "integrator"),
+            cfl=pin.get_real("parthenon/time", "cfl"),
+            nscalars=pin.get_or_add_integer(h, "nscalars", 0),
+            glmmhd_source=pin.get_or_add_string(h, "glmmhd_source",
+                                                "dedner_plain"),
+            glmmhd_alpha=pin.get_or_add_real(h, "glmmhd_alpha", 0.1),
+            max_dt=pin.get_or_add_real(h, "max_dt", -1.0),
+            first_order_flux_correct=pin.get_or_add_bool(
+                h, "first_order_flux_correct", False),
+        )
+
+
+class HydroPackage:
+    """Bundles mesh + config + EOS into jit-compiled compute closures."""
+
+    def __init__(self, mesh: Mesh, cfg: HydroConfig, eos: EOS,
+                 problem_source_unsplit: Optional[Callable] = None,
+                 problem_source_strang: Optional[Callable] = None):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.eos = eos
+        self.apply_boundaries = make_boundary_fn(mesh)
+        self.problem_source_unsplit = problem_source_unsplit
+        self.problem_source_strang = problem_source_strang
+
+        if cfg.fluid == GLMMHD and cfg.riemann == "hllc":
+            raise ValueError("hllc is a hydro-only Riemann solver")
+        if cfg.fluid == EULER and cfg.riemann == "hlld":
+            raise ValueError("hlld is an MHD-only Riemann solver")
+        from ..recon import nghost_for
+        need = nghost_for(cfg.reconstruction)
+        if mesh.nghost < need:
+            raise ValueError(
+                f"reconstruction '{cfg.reconstruction}' needs nghost >= "
+                f"{need}, got {mesh.nghost} (set parthenon/mesh/nghost)")
+
+        # limo3 positivity fallback applies to rho and p (prim layout)
+        mask = [False] * cfg.nvar
+        mask[IDN] = True
+        mask[IPR] = True
+        self._positivity_mask = jnp.asarray(mask)
+
+        self._active_dirs = [1]
+        if mesh.nx2 > 1:
+            self._active_dirs.append(2)
+        if mesh.nx3 > 1:
+            self._active_dirs.append(3)
+
+        self.step = jax.jit(self._step)
+        self.estimate_timestep = jax.jit(self._estimate_timestep)
+        self.cons_to_prim = jax.jit(self._cons_to_prim)
+
+    # ------------------------------------------------------------------ prim
+    def _cons_to_prim(self, u):
+        return cons_to_prim(self.eos, u, self.cfg.fluid, self.cfg.nscalars)
+
+    # ----------------------------------------------------------------- fluxes
+    def _compute_fluxes(self, prim, c_h, recon: str):
+        """One flux array per active direction, co-indexed faces (i = i-1/2).
+
+        Mirrors ``CalculateFluxes`` (``src/hydro/hydro.cpp:1026-1208``) but as
+        three fused whole-array sweeps instead of scratch-pencil loops.
+        """
+        cfg = self.cfg
+        fluxes = {}
+        for d in self._active_dirs:
+            axis = _AXIS_OF_DIR[d]
+            dx = self.mesh.dx[d - 1]
+            qm, qp = reconstruct(recon, prim, axis, dx,
+                                 positivity_mask=self._positivity_mask)
+            wl = jnp.roll(qp, 1, axis=axis)   # right edge of cell i-1
+            wr = qm                            # left edge of cell i
+            fluxes[d] = solve_riemann(cfg.riemann, cfg.fluid, self.eos,
+                                      wl, wr, d, c_h=c_h,
+                                      nscalars=cfg.nscalars)
+        return fluxes
+
+    def _flux_divergence(self, fluxes):
+        """div(F) with the same sign convention as the reference update:
+        ``u_new = ... - beta*dt*divF`` (``Update::UpdateWithFluxDivergence``)."""
+        div = None
+        for d, F in fluxes.items():
+            axis = _AXIS_OF_DIR[d]
+            dFx = (jnp.roll(F, -1, axis=axis) - F) / self.mesh.dx[d - 1]
+            div = dFx if div is None else div + dFx
+        return div
+
+    # ---------------------------------------------------------------- sources
+    def _dedner_source(self, u, prim, beta_dt, c_h):
+        """Dedner psi damping (+ optional extended divB terms);
+        ``src/hydro/glmmhd/dedner_source.cpp:17-79`` (Mignone & Tzeferacos
+        2010 eq 27)."""
+        cfg = self.cfg
+        mindx = self.mesh.min_dx
+        coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt / mindx)
+        if cfg.glmmhd_source == "dedner_extended":
+            from ..core.indices import IB1, IB2, IB3, IM1, IM2, IM3, IEN
+            mesh = self.mesh
+
+            def cdiff(q, d):
+                ax = _AXIS_OF_DIR[d]
+                return (jnp.roll(q, -1, axis=ax) - jnp.roll(q, 1, axis=ax)) / (
+                    2.0 * mesh.dx[d - 1])
+
+            b1 = prim[:, IB1]
+            b2 = prim[:, IB2]
+            b3 = prim[:, IB3]
+            psi = prim[:, IPS]
+            divB = cdiff(b1, 1)
+            psi_gradB = b1 * cdiff(psi, 1)
+            if mesh.nx2 > 1:
+                divB = divB + cdiff(b2, 2)
+                psi_gradB = psi_gradB + b2 * cdiff(psi, 2)
+            if mesh.nx3 > 1:
+                divB = divB + cdiff(b3, 3)
+                psi_gradB = psi_gradB + b3 * cdiff(psi, 3)
+            u = u.at[:, IM1].add(-beta_dt * divB * b1)
+            u = u.at[:, IM2].add(-beta_dt * divB * b2)
+            u = u.at[:, IM3].add(-beta_dt * divB * b3)
+            u = u.at[:, IEN].add(-beta_dt * psi_gradB)
+        return u.at[:, IPS].multiply(coeff)
+
+    # ------------------------------------------------------------------ step
+    def _stage_update(self, u0, u1, prim, gam0, gam1, beta_dt, c_h,
+                     recon: str, t):
+        """One 2S stage: flux -> update(interior) -> unsplit sources -> ghosts.
+
+        Matches the per-stage task chain in ``MakeTaskCollection``
+        (``src/hydro/hydro_driver.cpp:499-577``)."""
+        fluxes = self._compute_fluxes(prim, c_h, recon)
+        div = self._flux_divergence(fluxes)
+        u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
+        # restore ghost entries of u0 (the divergence is garbage there;
+        # boundary fill below overwrites them from valid interiors)
+        if self.cfg.fluid == GLMMHD:
+            u_new = self._dedner_source(u_new, prim, beta_dt, c_h)
+        if self.problem_source_unsplit is not None:
+            u_new = self.problem_source_unsplit(u_new, prim, self.mesh,
+                                                beta_dt, t)
+        u_new = self.apply_boundaries(u_new)
+        return u_new
+
+    def _step(self, u, dt, c_h, t=0.0):
+        """Advance one full cycle (all integrator stages).
+
+        ``u`` must enter ghost-filled; returns ghost-filled u(t+dt).
+        """
+        cfg = self.cfg
+        tab = INTEGRATORS[cfg.integrator]
+        u0 = u
+        u1 = u
+        cur_t = t
+        for s in range(tab["nstages"]):
+            recon = cfg.reconstruction
+            if cfg.integrator == "vl2" and s == 0:
+                recon = "dc"   # first-order predictor (hydro.cpp:459-464)
+            u0f, prim = self._cons_to_prim(u0)
+            u0 = self._stage_update(u0f, u1, prim,
+                                    tab["gam0"][s], tab["gam1"][s],
+                                    tab["beta"][s] * dt, c_h, recon, cur_t)
+        return u0
+
+    # ------------------------------------------------------------------- dt
+    def _estimate_timestep(self, prim):
+        """Hyperbolic CFL timestep (``EstimateHyperbolicTimestep``,
+        ``src/hydro/hydro.cpp:829-910``).  Returns (dt_full, dt_hyp)."""
+        cfg = self.cfg
+        mesh = self.mesh
+        eos = self.eos
+        sl = mesh.interior_slices
+        w = prim[sl]  # interior only
+        rho = w[:, IDN]
+        p = w[:, IPR]
+        if cfg.fluid == EULER:
+            c = jnp.sqrt(eos.gamma * p / rho)
+            lam = (c, c, c)
+        else:
+            from ..core.indices import IB1, IB2, IB3
+            b1, b2, b3 = w[:, IB1], w[:, IB2], w[:, IB3]
+            lam = (fast_magnetosonic_speed(eos, rho, p, b1, b2, b3),
+                   fast_magnetosonic_speed(eos, rho, p, b2, b3, b1),
+                   fast_magnetosonic_speed(eos, rho, p, b3, b1, b2))
+        min_dt = jnp.inf
+        for d in self._active_dirs:
+            vi = w[:, d]  # IV1/IV2/IV3 are 1/2/3
+            min_dt = jnp.minimum(
+                min_dt,
+                jnp.min(mesh.dx[d - 1] / (jnp.abs(vi) + lam[d - 1])))
+        dt_hyp = cfg.cfl * min_dt
+        dt = dt_hyp
+        if cfg.max_dt > 0.0:
+            dt = jnp.minimum(dt, cfg.max_dt)
+        return dt, dt_hyp
+
+    # ------------------------------------------------------------------ misc
+    def c_h_from_dt_hyp(self, dt_hyp):
+        """Divergence-cleaning speed c_h = cfl * min_dx / dt_hyp
+        (``PreStepMeshUserWorkInLoop``, ``src/hydro/hydro.cpp:102-143``)."""
+        if self.cfg.fluid != GLMMHD:
+            return jnp.asarray(0.0, dtype=jnp.float64)
+        return self.cfg.cfl * self.mesh.min_dx / dt_hyp
