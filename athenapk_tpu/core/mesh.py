@@ -175,9 +175,9 @@ class Mesh:
         return x, y, z
 
     def cell_centers_mesh(self, dtype=np.float64):
-        """Broadcastable (x[nb,1,1,NX], y[nb,NY,1], z[nb,NZ,1,1]) grids."""
+        """Broadcastable (x[nb,1,1,NX], y[nb,1,NY,1], z[nb,NZ,1,1]) grids."""
         x, y, z = self.cell_centers(dtype)
-        return (x[:, None, None, :], y[:, :, None], z[:, :, None, None])
+        return (x[:, None, None, :], y[:, None, :, None], z[:, :, None, None])
 
     # ------------------------------------------------------------ validation
     def __post_init__(self):

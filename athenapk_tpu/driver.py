@@ -46,6 +46,11 @@ class Simulation:
         self.cfg = HydroConfig.from_parameter_input(pin)
         self.eos = EOS.from_parameter_input(pin)
         self.pgen = get_pgen(self.problem_id)
+        # InitUserMeshData analog: may mutate pin (e.g. linear_wave test=true
+        # rescales tlim) before time controls are read below
+        init_hook = getattr(self.pgen, "init_user_mesh_data", None)
+        if init_hook is not None:
+            init_hook(pin)
 
         src_unsplit = getattr(self.pgen, "problem_source_unsplit", None)
         if src_unsplit is not None:
@@ -193,7 +198,8 @@ class _Hdf5Output:
         write_phdf(fname, mesh, fluid, t, dt, self.count,
                    single_precision=self.single_precision, **kw)
         self.count += 1
-        while self.next_time <= t:
+        # negative dt = final-output-only (no periodic trigger to advance)
+        while self.dt > 0.0 and self.next_time <= t:
             self.next_time += self.dt
 
 

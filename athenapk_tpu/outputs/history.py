@@ -88,5 +88,5 @@ class HistoryOutput:
             row = [f"{float(t):.14e}", f"{float(dt):.14e}"] + [
                 f"{v:.14e}" for v in vals]
             fh.write("  ".join(row) + "\n")
-        while self.next_time <= t:
+        while self.dt > 0.0 and self.next_time <= t:
             self.next_time += self.dt

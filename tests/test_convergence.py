@@ -1,0 +1,115 @@
+"""Linear-wave convergence gates (reference ``convergence.py`` /
+``mhd_convergence.py`` suites, shrunk to test-sized resolutions).
+
+The reference's hard CI gate is RMS-L1 <= 1.547584e-08 for VL2+PLM+HLLE at
+128-class resolution; at our 32-class that corresponds to ~2.0e-7 on the
+documented 2nd-order anchor line (error ~ N^-2).  We gate both the absolute
+error and the measured convergence order.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from athenapk_tpu.config.parameter_input import ParameterInput
+from athenapk_tpu.driver import Simulation
+
+DECK = """
+<job>
+problem_id = {problem_id}
+
+<problem/linear_wave>
+compute_error = true
+wave_flag = {wave_flag}
+amp = 1.0e-6
+vflow = {vflow}
+test = true
+
+<parthenon/mesh>
+nghost = {nghost}
+nx1 = {nx1}
+x1min = 0.0
+x1max = 3.0
+nx2 = {nx2}
+x2min = 0.0
+x2max = 1.5
+nx3 = {nx3}
+x3min = 0.0
+x3max = 1.5
+
+<parthenon/meshblock>
+nx1 = {mb}
+nx2 = {mb}
+nx3 = {mb}
+
+<parthenon/time>
+integrator = {integrator}
+cfl = 0.3
+tlim = 1.0
+nlim = 100000
+ncycle_out = 0
+
+<hydro>
+fluid = {fluid}
+eos = adiabatic
+riemann = {riemann}
+reconstruction = {recon}
+gamma = 1.666666666666667
+"""
+
+
+def _run(problem_id, fluid, riemann, recon, integrator, nx1, wave_flag=0,
+         vflow=0.0, tmp_path="."):
+    nghost = 3 if recon in ("ppm", "wenoz") else 2
+    mb = min(16, nx1 // 2)
+    deck = DECK.format(problem_id=problem_id, fluid=fluid, riemann=riemann,
+                       recon=recon, integrator=integrator, nx1=nx1,
+                       nx2=nx1 // 2, nx3=nx1 // 2, mb=mb, nghost=nghost,
+                       wave_flag=wave_flag, vflow=vflow)
+    pin = ParameterInput.from_string(deck)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = Simulation(pin, quiet=True).run()
+    finally:
+        os.chdir(cwd)
+    return sim.linear_wave_errors["rms"]
+
+
+@pytest.mark.parametrize("riemann,recon,integrator,tol32", [
+    ("hlle", "plm", "vl2", 3.0e-7),
+    ("hllc", "ppm", "rk3", 3.0e-7),
+])
+def test_hydro_linear_wave_convergence(riemann, recon, integrator, tol32,
+                                       tmp_path):
+    e16 = _run("linear_wave", "euler", riemann, recon, integrator, 16,
+               tmp_path=tmp_path)
+    e32 = _run("linear_wave", "euler", riemann, recon, integrator, 32,
+               tmp_path=tmp_path)
+    assert e32 < tol32, f"32-class RMS-L1 {e32:.3e} exceeds {tol32}"
+    order = np.log2(e16 / e32)
+    assert order > 1.4, f"convergence order {order:.2f} < 1.4"
+
+
+@pytest.mark.parametrize("wave_flag,vflow", [
+    (0, 0.0),   # fast magnetosonic
+    (1, 0.0),   # Alfven
+    (2, 0.0),   # slow magnetosonic
+    (3, 1.0),   # entropy (needs advection)
+])
+def test_mhd_linear_wave_convergence(wave_flag, vflow, tmp_path):
+    e16 = _run("linear_wave_mhd", "glmmhd", "hlld", "plm", "vl2", 16,
+               wave_flag=wave_flag, vflow=vflow, tmp_path=tmp_path)
+    e32 = _run("linear_wave_mhd", "glmmhd", "hlld", "plm", "vl2", 32,
+               wave_flag=wave_flag, vflow=vflow, tmp_path=tmp_path)
+    assert e32 < 4.0e-7, f"32-class RMS-L1 {e32:.3e}"
+    order = np.log2(e16 / e32)
+    assert order > 1.3, f"convergence order {order:.2f} < 1.3"
+
+
+def test_mhd_hlle_weno3_rk3(tmp_path):
+    """One higher-order MHD combo from the reference performance grid."""
+    e32 = _run("linear_wave_mhd", "glmmhd", "hlle", "weno3", "rk3", 32,
+               tmp_path=tmp_path)
+    assert e32 < 4.0e-7
