@@ -52,11 +52,23 @@ class Simulation:
         if init_hook is not None:
             init_hook(pin)
 
+        # units + composition (for spitzer coefficients, T floors)
+        from .utils.units import Units, mean_molecular_weights
+        self.units = Units(pin) if pin.has_block("units") else None
+        mu = None
+        if pin.has("hydro", "He_mass_fraction") and self.units is not None:
+            mu, _ = mean_molecular_weights(
+                pin.get_real("hydro", "He_mass_fraction"))
+        from .diffusion import DiffusionConfig
+        diffusion = DiffusionConfig.from_parameter_input(
+            pin, units=self.units, mu=mu)
+
         src_unsplit = getattr(self.pgen, "problem_source_unsplit", None)
         if src_unsplit is not None:
             src_unsplit = src_unsplit(pin, self.mesh, self.cfg, self.eos)
         self.pkg = HydroPackage(self.mesh, self.cfg, self.eos,
-                                problem_source_unsplit=src_unsplit)
+                                problem_source_unsplit=src_unsplit,
+                                diffusion=diffusion)
 
         # time integration controls (<parthenon/time>)
         t = "parthenon/time"
@@ -95,11 +107,12 @@ class Simulation:
     # ------------------------------------------------------------------ steps
     def _estimate(self):
         _, prim = self.pkg.cons_to_prim(self.u)
-        dt, dt_hyp = self.pkg.estimate_timestep(prim)
+        dt, dt_hyp, dt_diff = self.pkg.estimate_timestep(prim)
         pe = getattr(self.pgen, "estimate_timestep", None)
         if pe is not None:
             dt = jnp.minimum(dt, pe(self.pin, self.mesh, self.cfg, self.eos,
                                     prim, self.t))
+        self.dt_diff = float(dt_diff)
         return dt, dt_hyp
 
     def _do_outputs(self, force=False):
@@ -134,7 +147,17 @@ class Simulation:
                 perf_start = time.time()
             dt_eff = min(dt, self.tlim - self.t)
             c_h = self.pkg.c_h_from_dt_hyp(float(dt_hyp))
+            sts = (self.pkg.diffusion.any_enabled
+                   and self.pkg.diffusion.integrator == "rkl2")
+            if sts:
+                # Strang wrap: half diffusive step before and after the
+                # hydro cycle (hydro_driver.cpp:456-458, 581-583)
+                self.u = self.pkg.sts_half_step(self.u, 0.5 * dt_eff,
+                                                self.dt_diff)
             self.u = self.pkg.step(self.u, dt_eff, c_h, self.t)
+            if sts:
+                self.u = self.pkg.sts_half_step(self.u, 0.5 * dt_eff,
+                                                self.dt_diff)
             self.t += dt_eff
             self.ncycle += 1
             if perf_start is not None:

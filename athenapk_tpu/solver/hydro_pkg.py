@@ -61,10 +61,19 @@ class HydroConfig:
         fluid = pin.get_string(h, "fluid")
         if fluid not in (EULER, GLMMHD):
             raise ValueError(f"unknown fluid '{fluid}'")
+        riemann = pin.get_string(h, "riemann")
+        # 'none' disables hyperbolic fluxes (and their dt constraint);
+        # explicit hydro/calc_dt_hyp takes precedence (hydro.cpp:355-374)
+        calc_dt_hyp = riemann != "none"
+        if pin.has(h, "calc_dt_hyp"):
+            calc_dt_hyp = pin.get_bool(h, "calc_dt_hyp")
+        if riemann == "none" and pin.get_string(h, "reconstruction") != "dc":
+            raise ValueError("riemann 'none' requires dc reconstruction")
         return cls(
+            calc_dt_hyp=calc_dt_hyp,
             fluid=fluid,
             reconstruction=pin.get_string(h, "reconstruction"),
-            riemann=pin.get_string(h, "riemann"),
+            riemann=riemann,
             integrator=pin.get_string("parthenon/time", "integrator"),
             cfl=pin.get_real("parthenon/time", "cfl"),
             nscalars=pin.get_or_add_integer(h, "nscalars", 0),
@@ -82,10 +91,13 @@ class HydroPackage:
 
     def __init__(self, mesh: Mesh, cfg: HydroConfig, eos: EOS,
                  problem_source_unsplit: Optional[Callable] = None,
-                 problem_source_strang: Optional[Callable] = None):
+                 problem_source_strang: Optional[Callable] = None,
+                 diffusion=None):
+        from ..diffusion import DiffusionConfig
         self.mesh = mesh
         self.cfg = cfg
         self.eos = eos
+        self.diffusion = diffusion if diffusion is not None else DiffusionConfig()
         self.apply_boundaries = make_boundary_fn(mesh)
         self.problem_source_unsplit = problem_source_unsplit
         self.problem_source_strang = problem_source_strang
@@ -116,6 +128,9 @@ class HydroPackage:
         self.step = jax.jit(self._step)
         self.estimate_timestep = jax.jit(self._estimate_timestep)
         self.cons_to_prim = jax.jit(self._cons_to_prim)
+        self._rkl2_first = jax.jit(self._rkl2_first_impl,
+                                   static_argnames=("s_rkl",))
+        self._rkl2_other = jax.jit(self._rkl2_other_impl)
 
     # ------------------------------------------------------------------ prim
     def _cons_to_prim(self, u):
@@ -130,16 +145,26 @@ class HydroPackage:
         """
         cfg = self.cfg
         fluxes = {}
-        for d in self._active_dirs:
-            axis = _AXIS_OF_DIR[d]
-            dx = self.mesh.dx[d - 1]
-            qm, qp = reconstruct(recon, prim, axis, dx,
-                                 positivity_mask=self._positivity_mask)
-            wl = jnp.roll(qp, 1, axis=axis)   # right edge of cell i-1
-            wr = qm                            # left edge of cell i
-            fluxes[d] = solve_riemann(cfg.riemann, cfg.fluid, self.eos,
-                                      wl, wr, d, c_h=c_h,
-                                      nscalars=cfg.nscalars)
+        if cfg.riemann == "none":
+            # null solver: diffusion-only runs (rsolvers.hpp:35-63)
+            for d in self._active_dirs:
+                fluxes[d] = jnp.zeros_like(prim)
+        else:
+            for d in self._active_dirs:
+                axis = _AXIS_OF_DIR[d]
+                dx = self.mesh.dx[d - 1]
+                qm, qp = reconstruct(recon, prim, axis, dx,
+                                     positivity_mask=self._positivity_mask)
+                wl = jnp.roll(qp, 1, axis=axis)   # right edge of cell i-1
+                wr = qm                            # left edge of cell i
+                fluxes[d] = solve_riemann(cfg.riemann, cfg.fluid, self.eos,
+                                          wl, wr, d, c_h=c_h,
+                                          nscalars=cfg.nscalars)
+        if self.diffusion.any_enabled and self.diffusion.integrator == "unsplit":
+            from ..diffusion import calc_diff_fluxes
+            dflux = calc_diff_fluxes(self.diffusion, prim, self.mesh)
+            for d in self._active_dirs:
+                fluxes[d] = fluxes[d] + dflux[d]
         return fluxes
 
     def _flux_divergence(self, fluxes):
@@ -229,8 +254,10 @@ class HydroPackage:
 
     # ------------------------------------------------------------------- dt
     def _estimate_timestep(self, prim):
-        """Hyperbolic CFL timestep (``EstimateHyperbolicTimestep``,
-        ``src/hydro/hydro.cpp:829-910``).  Returns (dt_full, dt_hyp)."""
+        """Full timestep estimate (``EstimateTimestep``,
+        ``src/hydro/hydro.cpp:914-976``): hyperbolic CFL, diffusive dt
+        (strict for unsplit, ratio-capped for rkl2), max_dt cap.
+        Returns (dt_full, dt_hyp, dt_diff)."""
         cfg = self.cfg
         mesh = self.mesh
         eos = self.eos
@@ -247,17 +274,98 @@ class HydroPackage:
             lam = (fast_magnetosonic_speed(eos, rho, p, b1, b2, b3),
                    fast_magnetosonic_speed(eos, rho, p, b2, b3, b1),
                    fast_magnetosonic_speed(eos, rho, p, b3, b1, b2))
-        min_dt = jnp.inf
+        dt_hyp = jnp.inf
         for d in self._active_dirs:
             vi = w[:, d]  # IV1/IV2/IV3 are 1/2/3
-            min_dt = jnp.minimum(
-                min_dt,
+            dt_hyp = jnp.minimum(
+                dt_hyp,
                 jnp.min(mesh.dx[d - 1] / (jnp.abs(vi) + lam[d - 1])))
-        dt_hyp = cfg.cfl * min_dt
-        dt = dt_hyp
+        dt_hyp = cfg.cfl * dt_hyp
+
+        min_dt = dt_hyp if cfg.calc_dt_hyp else jnp.inf
+
+        dt_diff = jnp.inf
+        dc = self.diffusion
+        if dc.any_enabled and dc.integrator != "none":
+            from ..diffusion import estimate_diff_dt
+            dt_diff = estimate_diff_dt(dc, prim, mesh, cfg.cfl)
+            if dc.integrator == "unsplit":
+                min_dt = jnp.minimum(min_dt, dt_diff)
+            elif dc.integrator == "rkl2" and dc.rkl2_max_dt_ratio > 0.0:
+                # cap dt so dt_hyp / dt_diff <= max ratio; when hyperbolic
+                # dt is disabled the reference's dt_hyp stays at huge, so
+                # the cap always binds (hydro.cpp:948-957 + :344-362)
+                dt_hyp_eff = dt_hyp if cfg.calc_dt_hyp else jnp.inf
+                min_dt = jnp.minimum(
+                    min_dt,
+                    jnp.where(dt_hyp_eff / dt_diff > dc.rkl2_max_dt_ratio,
+                              dc.rkl2_max_dt_ratio * dt_diff, min_dt))
+
+        dt = min_dt
         if cfg.max_dt > 0.0:
             dt = jnp.minimum(dt, cfg.max_dt)
-        return dt, dt_hyp
+        return dt, dt_hyp, dt_diff
+
+    # ------------------------------------------------------------------ RKL2
+    def _diff_divergence(self, u):
+        """-div(F_diff) over the interior from ghost-filled cons ``u``
+        (the RKL2 operator M; ResetFluxes+CalcDiffFluxes+FluxDivergence,
+        ``hydro_driver.cpp:225-260``)."""
+        from ..diffusion import calc_diff_fluxes
+        _, prim = self._cons_to_prim(u)
+        fluxes = calc_diff_fluxes(self.diffusion, prim, self.mesh)
+        return -self._flux_divergence(fluxes)
+
+    def _rkl2_first_impl(self, u, tau, s_rkl):
+        """Y1 = Y0 + mu_tilde_1 tau M(Y0) (``RKL2StepFirst``,
+        ``hydro_driver.cpp:93-126``).  Returns (Y1 ghost-filled, MY0)."""
+        s = float(s_rkl)
+        mu_tilde_1 = 4.0 / 3.0 / (s * s + s - 2.0)
+        MY0 = self._diff_divergence(u)
+        Y1 = u + mu_tilde_1 * tau * MY0
+        return self.apply_boundaries(Y1), MY0
+
+    def _rkl2_other_impl(self, Yjm1, Yjm2, Y0, MY0, coeffs, tau):
+        """One RKL2 recursion stage (``RKL2StepOther``,
+        ``hydro_driver.cpp:128-167``)."""
+        mu_j, nu_j, mu_tilde_j, gamma_tilde_j = coeffs
+        MYjm1 = self._diff_divergence(Yjm1)
+        Yj = (mu_j * Yjm1 + nu_j * Yjm2 + (1.0 - mu_j - nu_j) * Y0
+              + mu_tilde_j * tau * MYjm1 + gamma_tilde_j * tau * MY0)
+        return self.apply_boundaries(Yj)
+
+    def sts_half_step(self, u, tau, dt_diff: float):
+        """RKL2 super-time-step over tau (one half of the Strang wrap;
+        ``AddSTSTasks``, ``hydro_driver.cpp:170-344``).  Host loop over
+        jitted substages: s is data-dependent, so it stays on the host
+        (the reference computes it when building the task list too).
+        """
+        import math as _math
+        s_rkl = int(0.5 * (_math.sqrt(9.0 + 16.0 * tau / dt_diff) - 1.0)) + 1
+        if s_rkl % 2 == 0:
+            s_rkl += 1
+        tau = jnp.asarray(tau)
+        Y0 = u
+        Yjm1, MY0 = self._rkl2_first(u, tau, s_rkl)
+        Yjm2 = Y0
+        s = float(s_rkl)
+        w1 = 4.0 / (s * s + s - 2.0)
+        b_jm1 = b_jm2 = 1.0 / 3.0
+        for jj in range(2, s_rkl + 1):
+            j = float(jj)
+            b_j = (j * j + j - 2.0) / (2.0 * j * (j + 1.0))
+            mu_j = (2.0 * j - 1.0) / j * b_j / b_jm1
+            nu_j = -(j - 1.0) / j * b_j / b_jm2
+            mu_tilde_j = mu_j * w1
+            gamma_tilde_j = -(1.0 - b_jm1) * mu_tilde_j
+            coeffs = (jnp.asarray(mu_j), jnp.asarray(nu_j),
+                      jnp.asarray(mu_tilde_j), jnp.asarray(gamma_tilde_j))
+            Yj = self._rkl2_other(Yjm1, Yjm2, Y0, MY0, coeffs, tau)
+            Yjm2 = Yjm1
+            Yjm1 = Yj
+            b_jm2 = b_jm1
+            b_jm1 = b_j
+        return Yjm1
 
     # ------------------------------------------------------------------ misc
     def c_h_from_dt_hyp(self, dt_hyp):

@@ -1,0 +1,136 @@
+"""Benchmark: zone-cycles/wallsecond on the reference's headline config.
+
+Protocol mirrors the reference performance suite
+(``tst/regression/test_suites/performance/performance.py:32-54`` +
+``inputs/linear_wave3d.in``): 3D MHD linear wave at 256^3, HLLD + PPM,
+10 cycles with the first 2 excluded (``perf_cycle_offset=2``).
+
+Baseline: AthenaPK on 1x A100 sustains order-4e7 zone-cycles/s for
+higher-order MHD (SURVEY §6; CI artifacts are ground truth).  vs_baseline
+is measured against 4.0e7.
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+A100_BASELINE_ZCPS = 4.0e7
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_bench(n: int, mb: int, ncycles: int = 10, warmup: int = 2,
+              dtype: str = "float64"):
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.driver import Simulation
+
+    deck = f"""
+<job>
+problem_id = linear_wave_mhd
+
+<problem/linear_wave>
+compute_error = false
+wave_flag = 0
+amp = 1.0e-6
+vflow = 0.0
+test = true
+
+<parthenon/mesh>
+nghost = 3
+nx1 = {n}
+x1min = 0.0
+x1max = 3.0
+nx2 = {n // 2}
+x2min = 0.0
+x2max = 1.5
+nx3 = {n // 2}
+x3min = 0.0
+x3max = 1.5
+
+<parthenon/meshblock>
+nx1 = {mb}
+nx2 = {mb}
+nx3 = {mb}
+
+<parthenon/time>
+integrator = vl2
+cfl = 0.3
+tlim = 100.0
+nlim = {ncycles}
+ncycle_out = 0
+perf_cycle_offset = {warmup}
+
+<hydro>
+fluid = glmmhd
+eos = adiabatic
+riemann = hlld
+reconstruction = ppm
+gamma = 1.666666666666667
+"""
+    pin = ParameterInput.from_string(deck)
+    sim = Simulation(pin, quiet=True)
+    zones = sim.mesh.nx1 * sim.mesh.nx2 * sim.mesh.nx3
+    log(f"bench: {n}x{n//2}x{n//2} zones={zones} blocks={sim.mesh.nblocks} "
+        f"mb={mb}^3 device={jax.devices()[0].platform}")
+
+    # run via the driver loop (counts cycles after warmup internally)
+    dt, dt_hyp = sim._estimate()
+    dt = float(dt)
+    t_start = None
+    counted = 0
+    for cyc in range(ncycles):
+        if cyc == warmup:
+            sim.u.block_until_ready()
+            t_start = time.time()
+        c_h = sim.pkg.c_h_from_dt_hyp(float(dt_hyp))
+        sim.u = sim.pkg.step(sim.u, dt, c_h, sim.t)
+        sim.t += dt
+        if t_start is not None:
+            counted += 1
+        dt_new, dt_hyp = sim._estimate()
+        dt = min(2.0 * dt, float(dt_new))
+    sim.u.block_until_ready()
+    wall = time.time() - t_start
+    return zones * counted / wall, wall, counted
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "256"))
+    mb = int(os.environ.get("BENCH_MB", "128"))
+    tries = [(n, mb), (128, 64), (64, 32)]
+    value = None
+    for nn, mm in tries:
+        try:
+            zcps, wall, counted = run_bench(nn, mm)
+            log(f"bench ok: {zcps:.4e} zone-cycles/s "
+                f"({counted} cycles in {wall:.2f}s)")
+            value = zcps
+            size = nn
+            break
+        except Exception as e:  # noqa: BLE001 — fall back to smaller size
+            log(f"bench at {nn} failed: {type(e).__name__}: {e}")
+    if value is None:
+        print(json.dumps({"metric": "zone-cycles/s (3D MHD HLLD+PPM)",
+                          "value": 0.0, "unit": "zone-cycles/s",
+                          "vs_baseline": 0.0}))
+        return 1
+    print(json.dumps({
+        "metric": f"zone-cycles/s (3D MHD linear wave {size}x{size//2}^2, "
+                  f"HLLD+PPM+VL2, f64)",
+        "value": value,
+        "unit": "zone-cycles/s",
+        "vs_baseline": value / A100_BASELINE_ZCPS,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
