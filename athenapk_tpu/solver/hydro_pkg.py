@@ -237,6 +237,9 @@ class HydroPackage:
 
         ``u`` must enter ghost-filled; returns ghost-filled u(t+dt).
         """
+        # follow the state dtype (f32 runs keep scalars in f32)
+        dt = jnp.asarray(dt, dtype=u.dtype)
+        c_h = jnp.asarray(c_h, dtype=u.dtype)
         cfg = self.cfg
         tab = INTEGRATORS[cfg.integrator]
         u0 = u
