@@ -63,12 +63,25 @@ class Simulation:
         diffusion = DiffusionConfig.from_parameter_input(
             pin, units=self.units, mu=mu)
 
+        cooling = None
+        if pin.get_or_add_string("cooling", "enable_cooling", "none") \
+                == "tabular":
+            from .srcterms.tabular_cooling import TabularCooling
+            if self.units is None or mu is None:
+                raise ValueError("tabular cooling requires <units> block and "
+                                 "hydro/He_mass_fraction")
+            he_x = pin.get_real("hydro", "He_mass_fraction")
+            mbar_over_kb = mu * self.units.mh() / self.units.k_boltzmann()
+            cooling = TabularCooling(
+                pin, self.units, pin.get_real("hydro", "gamma"), mu, he_x,
+                mbar_over_kb)
+
         src_unsplit = getattr(self.pgen, "problem_source_unsplit", None)
         if src_unsplit is not None:
             src_unsplit = src_unsplit(pin, self.mesh, self.cfg, self.eos)
         self.pkg = HydroPackage(self.mesh, self.cfg, self.eos,
                                 problem_source_unsplit=src_unsplit,
-                                diffusion=diffusion)
+                                diffusion=diffusion, cooling=cooling)
 
         # time integration controls (<parthenon/time>)
         t = "parthenon/time"

@@ -92,12 +92,13 @@ class HydroPackage:
     def __init__(self, mesh: Mesh, cfg: HydroConfig, eos: EOS,
                  problem_source_unsplit: Optional[Callable] = None,
                  problem_source_strang: Optional[Callable] = None,
-                 diffusion=None):
+                 diffusion=None, cooling=None):
         from ..diffusion import DiffusionConfig
         self.mesh = mesh
         self.cfg = cfg
         self.eos = eos
         self.diffusion = diffusion if diffusion is not None else DiffusionConfig()
+        self.cooling = cooling  # TabularCooling or None
         self.apply_boundaries = make_boundary_fn(mesh)
         self.problem_source_unsplit = problem_source_unsplit
         self.problem_source_strang = problem_source_strang
@@ -177,6 +178,57 @@ class HydroPackage:
             div = dFx if div is None else div + dFx
         return div
 
+    # ------------------------------------------------------- flux correction
+    def _first_order_flux_correct(self, u0, u1, prim, fluxes,
+                                  gam0, gam1, beta_dt, c_h):
+        """Iterative first-order flux correction
+        (``FirstOrderFluxCorrect``, ``src/hydro/hydro.cpp:1223-1342``):
+        cells whose candidate update would go rho<=0 or p<=0 get all their
+        face fluxes replaced by first-order DC+LLF fluxes; <=4 passes.
+        The reference's early-exit loop becomes 4 unrolled masked passes
+        (a pass with no bad cells is a no-op select)."""
+        from ..core.indices import IM1, IM2, IM3, IEN, IB1, IB2, IB3
+        cfg = self.cfg
+        mesh = self.mesh
+
+        # DC+LLF point fluxes from unreconstructed prim
+        llf = {}
+        for d in self._active_dirs:
+            axis = _AXIS_OF_DIR[d]
+            wl = jnp.roll(prim, 1, axis=axis)
+            llf[d] = solve_riemann("llf", cfg.fluid, self.eos, wl, prim, d,
+                                   c_h=c_h, nscalars=cfg.nscalars)
+
+        # interior mask [1,1,NZ,NY,NX]
+        interior = jnp.zeros(mesh.block_shape, dtype=bool)
+        ks, ke, js, je, is_, ie = self.mesh.interior
+        interior = interior.at[ks:ke + 1, js:je + 1, is_:ie + 1].set(True)
+        interior = interior[None, None]
+
+        for attempt in range(4):
+            div = self._flux_divergence(fluxes)
+            u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
+            rho = u_new[:, IDN:IDN + 1]
+            ke_ = 0.5 * (u_new[:, IM1:IM1 + 1] ** 2 + u_new[:, IM2:IM2 + 1] ** 2
+                         + u_new[:, IM3:IM3 + 1] ** 2) / rho
+            p_like = u_new[:, IEN:IEN + 1] - ke_
+            if cfg.fluid == GLMMHD:
+                p_like = p_like - 0.5 * (u_new[:, IB1:IB1 + 1] ** 2
+                                         + u_new[:, IB2:IB2 + 1] ** 2
+                                         + u_new[:, IB3:IB3 + 1] ** 2)
+            bad = (rho <= 0.0) | (p_like <= 0.0)
+            if attempt > 2:
+                # last pass: rho>0 but p<0 cells are left to the floors
+                bad = rho <= 0.0
+            bad = bad & interior
+            new_fluxes = {}
+            for d in self._active_dirs:
+                axis = _AXIS_OF_DIR[d]
+                bad_face = bad | jnp.roll(bad, 1, axis=axis)
+                new_fluxes[d] = jnp.where(bad_face, llf[d], fluxes[d])
+            fluxes = new_fluxes
+        return fluxes
+
     # ---------------------------------------------------------------- sources
     def _dedner_source(self, u, prim, beta_dt, c_h):
         """Dedner psi damping (+ optional extended divB terms);
@@ -220,12 +272,17 @@ class HydroPackage:
         Matches the per-stage task chain in ``MakeTaskCollection``
         (``src/hydro/hydro_driver.cpp:499-577``)."""
         fluxes = self._compute_fluxes(prim, c_h, recon)
+        if self.cfg.first_order_flux_correct:
+            fluxes = self._first_order_flux_correct(
+                u0, u1, prim, fluxes, gam0, gam1, beta_dt, c_h)
         div = self._flux_divergence(fluxes)
         u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
         # restore ghost entries of u0 (the divergence is garbage there;
         # boundary fill below overwrites them from valid interiors)
         if self.cfg.fluid == GLMMHD:
             u_new = self._dedner_source(u_new, prim, beta_dt, c_h)
+        if self.cooling is not None:
+            u_new = self.cooling.apply(u_new, beta_dt, self.cfg.fluid)
         if self.problem_source_unsplit is not None:
             u_new = self.problem_source_unsplit(u_new, prim, self.mesh,
                                                 beta_dt, t)
@@ -303,6 +360,10 @@ class HydroPackage:
                     min_dt,
                     jnp.where(dt_hyp_eff / dt_diff > dc.rkl2_max_dt_ratio,
                               dc.rkl2_max_dt_ratio * dt_diff, min_dt))
+
+        if self.cooling is not None:
+            min_dt = jnp.minimum(min_dt,
+                                 self.cooling.estimate_timestep(prim, mesh))
 
         dt = min_dt
         if cfg.max_dt > 0.0:
