@@ -79,6 +79,10 @@ class Simulation:
         src_unsplit = getattr(self.pgen, "problem_source_unsplit", None)
         if src_unsplit is not None:
             src_unsplit = src_unsplit(pin, self.mesh, self.cfg, self.eos)
+        src_first = getattr(self.pgen, "problem_source_first_order", None)
+        if src_first is not None:
+            src_first = src_first(pin, self.mesh, self.cfg, self.eos)
+        self.src_first_order = src_first
         self.pkg = HydroPackage(self.mesh, self.cfg, self.eos,
                                 problem_source_unsplit=src_unsplit,
                                 diffusion=diffusion, cooling=cooling)
@@ -96,6 +100,16 @@ class Simulation:
             pin, self.mesh, self.cfg, self.eos))
         u = self.pkg.apply_boundaries(u)
         self.u = u
+
+        # tracers (swarm analog)
+        from .tracers import Tracers
+        self.tracers = Tracers(pin, self.mesh, self.cfg)
+        self.tracer_state = None
+        if self.tracers.enabled:
+            self.tracer_state = self.tracers.seed()
+            if self.tracer_state is not None:
+                _, w0 = self.pkg.cons_to_prim(self.u)
+                self.tracer_state = self.tracers.fill(self.tracer_state, w0)
         self.t = 0.0
         self.ncycle = 0
         self.tm_dt = None  # set by _estimate
@@ -107,8 +121,13 @@ class Simulation:
             dt_out = pin.get_or_add_real(blk, "dt", -1.0)
             oid = pin.get_or_add_string(blk, "id", blk.rsplit("output", 1)[-1])
             if ftype == "hst":
+                extra_cols = ()
+                hook = getattr(self.pgen, "history_columns", None)
+                if hook is not None:
+                    extra_cols = hook(pin, self.mesh, self.cfg, self.eos)
                 self.outputs.append(HistoryOutput(
-                    f"{self.base_name}.out{oid}.hst", self.cfg.fluid, dt_out))
+                    f"{self.base_name}.out{oid}.hst", self.cfg.fluid, dt_out,
+                    extra_columns=extra_cols))
             elif ftype == "hdf5":
                 var = pin.get_or_add_string(blk, "variables", "cons")
                 sp = pin.get_or_add_bool(blk, "single_precision_output", False)
@@ -168,9 +187,21 @@ class Simulation:
                 self.u = self.pkg.sts_half_step(self.u, 0.5 * dt_eff,
                                                 self.dt_diff)
             self.u = self.pkg.step(self.u, dt_eff, c_h, self.t)
+            if self.src_first_order is not None:
+                # first-order split source, once per cycle at full dt
+                # (AddSplitSourcesFirstOrder, hydro_driver.cpp:548-561)
+                self.u = self.pkg.apply_boundaries(
+                    self.src_first_order(self.u, dt_eff, self.t))
             if sts:
                 self.u = self.pkg.sts_half_step(self.u, 0.5 * dt_eff,
                                                 self.dt_diff)
+            if self.tracer_state is not None:
+                # advect with last-filled velocities, then resample fields
+                _, w_now = self.pkg.cons_to_prim(self.u)
+                self.tracer_state = self.tracers.advect(
+                    self.tracer_state, w_now, dt_eff)
+                self.tracer_state = self.tracers.fill(self.tracer_state,
+                                                      w_now)
             self.t += dt_eff
             self.ncycle += 1
             if perf_start is not None:

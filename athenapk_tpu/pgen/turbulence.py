@@ -1,0 +1,177 @@
+"""OU-driven turbulence (reference ``src/pgen/turbulence.cpp``).
+
+ICs: uniform rho0/p0(/v0) with optional B configurations (uniform net-flux,
+no-net-flux uniform/sin, field loop), B normalized globally so mean magnetic
+energy is b0^2/2 (the reference's MPI_Allreduce normalization,
+``turbulence.cpp:327``).
+
+Driving (``turbulence.cpp:476``, wired as ``ProblemSourceFirstOrder``):
+each cycle, evolve the OU few-modes acceleration spectrum, inverse-FT to
+real space, subtract the mean momentum injection, normalize to accel_rms,
+and kick momentum+energy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.indices import (IDN, IM1, IM2, IM3, IEN, IB1, IB2, IB3, IPR,
+                            GLMMHD)
+from ..utils.few_modes_ft import FewModesFT
+
+_driver_cache = {}
+
+
+def _parse_modes(pin):
+    num_modes = pin.get_integer("problem/turbulence", "num_modes")
+    k_vec = np.zeros((3, num_modes))
+    for j in range(3):
+        for i in range(1, num_modes + 1):
+            k_vec[j, i - 1] = pin.get_integer("modes", f"k_{i}_{j}")
+    return num_modes, k_vec
+
+
+def _fmft(pin, mesh):
+    key = id(pin)
+    if key not in _driver_cache:
+        p = "problem/turbulence"
+        num_modes, k_vec = _parse_modes(pin)
+        _driver_cache[key] = FewModesFT(
+            mesh, num_modes, k_vec,
+            k_peak=pin.get_or_add_real(p, "kpeak", 0.0),
+            sol_weight=pin.get_or_add_real(p, "sol_weight", 1.0),
+            t_corr=pin.get_real(p, "corr_time"),
+            rseed=pin.get_or_add_integer(p, "rseed", 31224))
+    return _driver_cache[key]
+
+
+def problem_generator(pin, mesh, cfg, eos):
+    p = "problem/turbulence"
+    gm1 = pin.get_real("hydro", "gamma") - 1.0
+    p0 = pin.get_real(p, "p0")
+    rho0 = pin.get_real(p, "rho0")
+    v0 = [float(v) for v in
+          pin.get_or_add_string(p, "v0", "0.0, 0.0, 0.0").replace(
+              ",", " ").split()]
+
+    u = np.zeros((mesh.nblocks, cfg.nvar) + mesh.block_shape)
+    u[:, IDN] = rho0
+    u[:, IM1] = rho0 * v0[0]
+    u[:, IM2] = rho0 * v0[1]
+    u[:, IM3] = rho0 * v0[2]
+    u[:, IEN] = p0 / gm1 + 0.5 * rho0 * sum(v * v for v in v0)
+
+    if cfg.fluid == GLMMHD:
+        b0 = pin.get_real(p, "b0")
+        b_config = pin.get_integer(p, "b_config")
+        if b_config == 3:
+            raise ValueError("random B fields not implemented (matches ref)")
+        x, y, z = mesh.cell_centers_mesh()
+        shape = (mesh.nblocks,) + mesh.block_shape
+        zb = np.broadcast_to(z, shape)
+        Lz = mesh.x3max - mesh.x3min
+        kz = 2.0 * math.pi / Lz
+
+        b1 = np.zeros(shape)
+        b2 = np.zeros(shape)
+        b3 = np.zeros(shape)
+        if b_config == 0:      # uniform net-flux field
+            b1[:] = b0
+        elif b_config == 1:    # no net flux, uniform halves
+            b1[:] = np.where(zb < mesh.x3min + Lz / 2.0, b0, -b0)
+        elif b_config == 2:    # no net flux, sin(z)
+            b1[:] = b0 / math.sqrt(0.5) * np.sin(kz * zb)
+        elif b_config == 4:    # field loop
+            x0 = pin.get_or_add_real(p, "x0", 0.5)
+            y0 = pin.get_or_add_real(p, "y0", 0.5)
+            rad = pin.get_or_add_real(p, "loop_rad", 0.25)
+            xb = np.broadcast_to(x, shape)
+            yb = np.broadcast_to(y, shape)
+            rr = np.sqrt((xb - x0) ** 2 + (yb - y0) ** 2)
+            az = np.where(rr < rad, b0 * (rad - rr), 0.0)
+            b1p = np.zeros(shape)
+            b2p = np.zeros(shape)
+            b1p[..., 1:-1, :] = (az[..., 2:, :] - az[..., :-2, :]) / (2 * mesh.dx2)
+            b2p[..., 1:-1] = -(az[..., 2:] - az[..., :-2]) / (2 * mesh.dx1)
+            b1 += b1p
+            b2 += b2p
+        else:
+            raise ValueError(f"unknown b_config {b_config}")
+
+        # normalize so the mean magnetic energy equals b0^2/2
+        sl = mesh.interior_slices
+        isl = tuple([sl[0]] + list(sl[2:]))
+        e_mag_mean = (0.5 * (b1[isl] ** 2 + b2[isl] ** 2 + b3[isl] ** 2)).mean()
+        b_norm = math.sqrt(e_mag_mean / (0.5 * b0 * b0))
+        b1 /= b_norm
+        b2 /= b_norm
+        b3 /= b_norm
+        u[:, IB1] = b1
+        u[:, IB2] = b2
+        u[:, IB3] = b3
+        u[:, IEN] += 0.5 * (b1 ** 2 + b2 ** 2 + b3 ** 2)
+    return u
+
+
+def problem_source_first_order(pin, mesh, cfg, eos):
+    """Build the per-cycle Driving closure (Generate + Perturb)."""
+    fmft = _fmft(pin, mesh)
+    accel_rms = pin.get_real("problem/turbulence", "accel_rms")
+    sl = mesh.interior_slices
+    isl = tuple([sl[0]] + list(sl[2:]))  # interior w/o var axis
+    vol = mesh.dx1 * mesh.dx2 * mesh.dx3
+    total_vol = ((mesh.x1max - mesh.x1min) * (mesh.x2max - mesh.x2min)
+                 * (mesh.x3max - mesh.x3min))
+
+    def driving(u, dt, t):
+        acc = fmft.generate(float(dt))  # [3, nb, nz, ny, nx] interior
+        rho = u[:, IDN][isl]
+        mass = jnp.sum(rho) * vol
+        mean_acc = [jnp.sum(rho * acc[n]) * vol / mass for n in range(3)]
+        acc = jnp.stack([acc[n] - mean_acc[n] for n in range(3)])
+        ampl_sum = jnp.sum(acc ** 2) * vol
+        norm = accel_rms / jnp.sqrt(ampl_sum / total_vol)
+        acc = acc * norm
+
+        m1 = u[:, IM1][isl]
+        m2 = u[:, IM2][isl]
+        m3 = u[:, IM3][isl]
+        qa = dt * rho
+        de = (m1 * dt * acc[0] + m2 * dt * acc[1] + m3 * dt * acc[2]
+              + (acc[0] ** 2 + acc[1] ** 2 + acc[2] ** 2) * qa * qa
+              / (2.0 * rho))
+        u = u.at[(slice(None), IEN) + isl[1:]].add(de)
+        u = u.at[(slice(None), IM1) + isl[1:]].add(qa * acc[0])
+        u = u.at[(slice(None), IM2) + isl[1:]].add(qa * acc[1])
+        u = u.at[(slice(None), IM3) + isl[1:]].add(qa * acc[2])
+        return u
+
+    return driving
+
+
+def history_columns(pin, mesh, cfg, eos):
+    """Turbulence history: Ms, Ma, plasma beta (``TurbulenceHst``,
+    ``turbulence.cpp:48-101``) — volume-weighted RMS values."""
+    gamma = pin.get_real("hydro", "gamma")
+
+    def _ms(u, w, mesh):
+        v2 = (w[:, 1] ** 2 + w[:, 2] ** 2 + w[:, 3] ** 2)
+        cs2 = gamma * w[:, IPR] / w[:, IDN]
+        return jnp.sqrt(jnp.mean(v2 / cs2))
+
+    cols = [("Ms", _ms)]
+    if cfg.fluid == GLMMHD:
+        def _ma(u, w, mesh):
+            v2 = (w[:, 1] ** 2 + w[:, 2] ** 2 + w[:, 3] ** 2)
+            va2 = (w[:, IB1] ** 2 + w[:, IB2] ** 2 + w[:, IB3] ** 2) / w[:, IDN]
+            return jnp.sqrt(jnp.mean(v2 / jnp.maximum(va2, 1e-30)))
+
+        def _beta(u, w, mesh):
+            pb = 0.5 * (w[:, IB1] ** 2 + w[:, IB2] ** 2 + w[:, IB3] ** 2)
+            return jnp.mean(w[:, IPR] / jnp.maximum(pb, 1e-30))
+
+        cols += [("Ma", _ma), ("plasma_beta", _beta)]
+    return cols
