@@ -38,7 +38,8 @@ def _reflect_signs(nvar: int, dirn: int, dtype):
     return jnp.asarray(s, dtype=dtype).reshape((nvar, 1, 1, 1))
 
 
-def _fill_dir(grid, mesh: Mesh, dirn: int, inner_bc: str, outer_bc: str):
+def _fill_dir(grid, mesh: Mesh, dirn: int, inner_bc: str, outer_bc: str,
+              custom_bcs=None):
     """Exchange + physical BC along one direction of the block grid.
 
     grid: [nb3, nb2, nb1, nvar, NZ, NY, NX].
@@ -71,7 +72,12 @@ def _fill_dir(grid, mesh: Mesh, dirn: int, inner_bc: str, outer_bc: str):
         if bc == "periodic":
             return grid  # already correct from the roll
         layer = grid[bslice(pos)]
-        if bc == "outflow":
+        if custom_bcs and bc in custom_bcs:
+            # user-registered BC (RegisterBoundaryCondition analog,
+            # main.cpp:129-140): mutates the ghost slab of the layer
+            gsl = cslice(0, g) if pos == "inner" else cslice(N - g, N)
+            layer = custom_bcs[bc](layer, gsl, mesh, dirn, pos)
+        elif bc == "outflow":
             if pos == "inner":
                 edge = layer[cslice(g, g + 1)]
                 ghost = jnp.broadcast_to(edge, layer[cslice(0, g)].shape)
@@ -97,19 +103,24 @@ def _fill_dir(grid, mesh: Mesh, dirn: int, inner_bc: str, outer_bc: str):
     return grid
 
 
-def make_boundary_fn(mesh: Mesh) -> Callable:
-    """Build the jit-compatible ghost-fill closure for this mesh."""
+def make_boundary_fn(mesh: Mesh, custom_bcs=None) -> Callable:
+    """Build the jit-compatible ghost-fill closure for this mesh.
+
+    ``custom_bcs``: {bc_name: fn(layer, ghost_slice, mesh, dirn, pos)} for
+    problem-registered boundary conditions (e.g. cloud inflow)."""
     nb3, nb2, nb1 = mesh.nb3, mesh.nb2, mesh.nb1
 
     def apply_boundaries(u):
         """u: [nblocks, nvar, NZ, NY, NX] conserved state -> ghost-filled."""
         nvar = u.shape[1]
         grid = u.reshape(nb3, nb2, nb1, nvar, *mesh.block_shape)
-        grid = _fill_dir(grid, mesh, 1, mesh.ix1_bc, mesh.ox1_bc)
+        grid = _fill_dir(grid, mesh, 1, mesh.ix1_bc, mesh.ox1_bc, custom_bcs)
         if mesh.nx2 > 1:
-            grid = _fill_dir(grid, mesh, 2, mesh.ix2_bc, mesh.ox2_bc)
+            grid = _fill_dir(grid, mesh, 2, mesh.ix2_bc, mesh.ox2_bc,
+                             custom_bcs)
         if mesh.nx3 > 1:
-            grid = _fill_dir(grid, mesh, 3, mesh.ix3_bc, mesh.ox3_bc)
+            grid = _fill_dir(grid, mesh, 3, mesh.ix3_bc, mesh.ox3_bc,
+                             custom_bcs)
         return grid.reshape(u.shape)
 
     return apply_boundaries

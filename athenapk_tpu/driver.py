@@ -36,7 +36,7 @@ class Simulation:
     """Owns mesh, package, state, and the time loop."""
 
     def __init__(self, pin: ParameterInput, base_name: Optional[str] = None,
-                 quiet: bool = False):
+                 quiet: bool = False, restart: Optional[dict] = None):
         self.pin = pin
         self.quiet = quiet
         self.problem_id = pin.get_string("job", "problem_id")
@@ -83,9 +83,14 @@ class Simulation:
         if src_first is not None:
             src_first = src_first(pin, self.mesh, self.cfg, self.eos)
         self.src_first_order = src_first
+        custom_bcs = None
+        bc_hook = getattr(self.pgen, "register_boundary_conditions", None)
+        if bc_hook is not None:
+            custom_bcs = bc_hook(pin, self.mesh, self.cfg, self.eos)
         self.pkg = HydroPackage(self.mesh, self.cfg, self.eos,
                                 problem_source_unsplit=src_unsplit,
-                                diffusion=diffusion, cooling=cooling)
+                                diffusion=diffusion, cooling=cooling,
+                                custom_bcs=custom_bcs)
 
         # time integration controls (<parthenon/time>)
         t = "parthenon/time"
@@ -95,24 +100,40 @@ class Simulation:
             t, "perf_cycle_offset", 0)
         self.ncycle_out = pin.get_or_add_integer(t, "ncycle_out", 1)
 
-        # initial state
-        u = jnp.asarray(self.pgen.problem_generator(
-            pin, self.mesh, self.cfg, self.eos))
-        u = self.pkg.apply_boundaries(u)
+        # initial state (fresh problem generation or restart payload)
+        self.is_restart = restart is not None
+        if self.is_restart:
+            u = jnp.asarray(restart["cons"])
+            self.t = restart["t"]
+            self.ncycle = restart["ncycle"]
+        else:
+            u = jnp.asarray(self.pgen.problem_generator(
+                pin, self.mesh, self.cfg, self.eos))
+            u = self.pkg.apply_boundaries(u)
+            self.t = 0.0
+            self.ncycle = 0
         self.u = u
+        self.tm_dt = None  # set by _estimate
 
         # tracers (swarm analog)
         from .tracers import Tracers
         self.tracers = Tracers(pin, self.mesh, self.cfg)
         self.tracer_state = None
         if self.tracers.enabled:
-            self.tracer_state = self.tracers.seed()
-            if self.tracer_state is not None:
-                _, w0 = self.pkg.cons_to_prim(self.u)
-                self.tracer_state = self.tracers.fill(self.tracer_state, w0)
-        self.t = 0.0
-        self.ncycle = 0
-        self.tm_dt = None  # set by _estimate
+            if self.is_restart and "tracers" in restart:
+                self.tracer_state = {k: jnp.asarray(v) for k, v in
+                                     restart["tracers"].items()}
+            else:
+                self.tracer_state = self.tracers.seed()
+                if self.tracer_state is not None:
+                    _, w0 = self.pkg.cons_to_prim(self.u)
+                    self.tracer_state = self.tracers.fill(self.tracer_state,
+                                                          w0)
+        # OU forcing state
+        if self.is_restart and "few_modes_ft" in restart:
+            from .pgen import turbulence as _turb
+            fm = _turb._fmft(pin, self.mesh)
+            fm.set_state(*restart["few_modes_ft"])
 
         # outputs
         self.outputs = []
@@ -133,6 +154,13 @@ class Simulation:
                 sp = pin.get_or_add_bool(blk, "single_precision_output", False)
                 self.outputs.append(_Hdf5Output(
                     self.base_name, oid, var, dt_out, sp))
+            elif ftype == "rst":
+                self.outputs.append(_RestartOutput(
+                    self.base_name, oid, dt_out, self))
+        if self.is_restart and restart.get("triggers") is not None:
+            for out, (nt, cnt) in zip(self.outputs, restart["triggers"]):
+                out.next_time = float(nt)
+                out.count = int(cnt)
 
         self._dump_count = {}
 
@@ -270,16 +298,58 @@ class _Hdf5Output:
             self.next_time += self.dt
 
 
+class _RestartOutput:
+    def __init__(self, base_name, oid, dt, sim):
+        self.base_name = base_name
+        self.oid = oid
+        self.dt = dt
+        self.sim = sim
+        self.next_time = 0.0
+        self.count = 0
+
+    def due(self, t):
+        return self.dt >= 0.0 and t >= self.next_time
+
+    def write(self, t, dt, u, w, mesh):
+        from .outputs.restart import write_restart
+        write_restart(f"{self.base_name}.out_{self.oid}."
+                      f"{self.count:05d}.rhdf", self.sim)
+        self.count += 1
+        while self.dt > 0.0 and self.next_time <= t:
+            self.next_time += self.dt
+
+
 def run_from_file(path: str, overrides=None, quiet=False) -> Simulation:
     pin = ParameterInput.from_file(path, overrides)
     return Simulation(pin, quiet=quiet).run()
 
 
-def main(argv=None):  # CLI: python -m athenapk_tpu.driver -i deck.in [ovr...]
+def run_from_restart(path: str, overrides=None, quiet=False) -> Simulation:
+    from .outputs.restart import read_restart
+    pin, payload = read_restart(path)
+    if overrides:
+        pin.apply_overrides(overrides)
+    return Simulation(pin, quiet=quiet, restart=payload).run()
+
+
+def write_restart_file(sim, fname):
+    from .outputs.restart import write_restart
+    write_restart(fname, sim)
+
+
+def main(argv=None):
+    """CLI: python -m athenapk_tpu.driver -i deck.in [ovr...]
+            python -m athenapk_tpu.driver -r file.rhdf [ovr...]"""
     argv = argv if argv is not None else sys.argv[1:]
+    if "-r" in argv:
+        i = argv.index("-r")
+        path = argv[i + 1]
+        overrides = [a for a in argv[:i] + argv[i + 2:] if "=" in a]
+        run_from_restart(path, overrides)
+        return 0
     if "-i" not in argv:
         print("usage: python -m athenapk_tpu.driver -i input.in "
-              "[block/key=value ...]")
+              "[block/key=value ...]  (or -r file.rhdf)")
         return 1
     i = argv.index("-i")
     path = argv[i + 1]

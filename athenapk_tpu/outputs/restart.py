@@ -1,0 +1,76 @@
+"""Checkpoint / restart files (the reference's ``.rhdf`` analog).
+
+Stores the full ghost-inclusive conserved state bit-exactly (f64), the
+simulation clock, the deck (with recorded defaults), tracer arrays, and the
+OU-forcing spectrum + RNG state — everything needed for bitwise-identical
+resume (the reference guarantees bitwise restarts, ``CHANGELOG.md:50``;
+OU state persistence mirrors ``turbulence::UserWorkBeforeOutput``).
+
+Resume: ``python -m athenapk_tpu.driver -r file.rhdf`` (same convention as
+the reference binary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def write_restart(fname, sim):
+    import h5py
+
+    os.makedirs(os.path.dirname(fname) or ".", exist_ok=True)
+    with h5py.File(fname, "w") as fh:
+        info = fh.create_group("Info")
+        info.attrs["Time"] = float(sim.t)
+        info.attrs["NCycle"] = int(sim.ncycle)
+        info.attrs["dt"] = float(sim.tm_dt if sim.tm_dt is not None else 0.0)
+        info.attrs["OutputFormatVersion"] = 1
+        fh.create_dataset("cons", data=np.asarray(sim.u))
+        fh.create_dataset("Input", data=sim.pin.to_string().encode())
+        # output trigger states so resumed runs continue the cadence
+        trig = [(getattr(o, "next_time", 0.0), getattr(o, "count", 0))
+                for o in sim.outputs]
+        fh.create_dataset("OutputTriggers", data=np.asarray(trig))
+        if sim.tracer_state is not None:
+            g = fh.create_group("Tracers")
+            for k, v in sim.tracer_state.items():
+                g.create_dataset(k, data=np.asarray(v))
+        # OU forcing state (turbulence)
+        from ..pgen import turbulence as _turb
+        fm = _turb._driver_cache.get(id(sim.pin))
+        if fm is not None:
+            g = fh.create_group("FewModesFT")
+            var_hat, rng_state = fm.get_state()
+            g.create_dataset("var_hat_r", data=var_hat.real)
+            g.create_dataset("var_hat_i", data=var_hat.imag)
+            g.attrs["rng_state"] = json.dumps(rng_state)
+
+
+def read_restart(fname):
+    """-> (pin, payload dict) for Simulation resume."""
+    import h5py
+
+    from ..config.parameter_input import ParameterInput
+
+    with h5py.File(fname, "r") as fh:
+        pin = ParameterInput.from_string(fh["Input"][()].decode())
+        payload = dict(
+            t=float(fh["Info"].attrs["Time"]),
+            ncycle=int(fh["Info"].attrs["NCycle"]),
+            dt=float(fh["Info"].attrs["dt"]),
+            cons=fh["cons"][()],
+            triggers=fh["OutputTriggers"][()]
+            if "OutputTriggers" in fh else None,
+        )
+        if "Tracers" in fh:
+            payload["tracers"] = {k: fh["Tracers"][k][()]
+                                  for k in fh["Tracers"]}
+        if "FewModesFT" in fh:
+            g = fh["FewModesFT"]
+            payload["few_modes_ft"] = (
+                g["var_hat_r"][()] + 1j * g["var_hat_i"][()],
+                json.loads(g.attrs["rng_state"]))
+    return pin, payload

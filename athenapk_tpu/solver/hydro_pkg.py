@@ -92,14 +92,14 @@ class HydroPackage:
     def __init__(self, mesh: Mesh, cfg: HydroConfig, eos: EOS,
                  problem_source_unsplit: Optional[Callable] = None,
                  problem_source_strang: Optional[Callable] = None,
-                 diffusion=None, cooling=None):
+                 diffusion=None, cooling=None, custom_bcs=None):
         from ..diffusion import DiffusionConfig
         self.mesh = mesh
         self.cfg = cfg
         self.eos = eos
         self.diffusion = diffusion if diffusion is not None else DiffusionConfig()
         self.cooling = cooling  # TabularCooling or None
-        self.apply_boundaries = make_boundary_fn(mesh)
+        self.apply_boundaries = make_boundary_fn(mesh, custom_bcs)
         self.problem_source_unsplit = problem_source_unsplit
         self.problem_source_strang = problem_source_strang
 
