@@ -26,6 +26,7 @@ _PGEN_MODULES = {
     "rand_blast": "athenapk_tpu.pgen.rand_blast",
     "turbulence": "athenapk_tpu.pgen.turbulence",
     "cloud": "athenapk_tpu.pgen.cloud",
+    "cluster": "athenapk_tpu.pgen.cluster",
 }
 
 

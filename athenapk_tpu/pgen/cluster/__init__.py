@@ -1,0 +1,10 @@
+"""Galaxy-cluster application package (reference ``src/pgen/cluster.cpp`` +
+``src/pgen/cluster/``): NFW/BCG/SMBH gravity, ACCEPT entropy profile,
+hydrostatic-equilibrium initialization, AGN feedback/triggering, magnetic
+tower, SN Ia + stellar feedback, cluster clips."""
+
+from .pgen import (problem_generator, init_user_mesh_data,  # noqa: F401
+                   problem_source_unsplit, register_defaults)
+from .gravity import ClusterGravity  # noqa: F401
+from .entropy_profiles import ACCEPTEntropyProfile  # noqa: F401
+from .hse import HydrostaticEquilibriumSphere  # noqa: F401

@@ -1,0 +1,142 @@
+"""AGN feedback: kinetic jet + thermal dump + magnetic tower fractions
+(reference ``src/pgen/cluster/agn_feedback.cpp``).
+
+Power = fixed_power + efficiency * Mdot * c^2 (Mdot from AGNTriggering);
+mass rate = Mdot (1 - efficiency) + fixed_power / (efficiency c^2).
+Thermal: uniform energy/mass dump inside thermal_radius.  Kinetic: paired
+jet slabs (radius/thickness/offset in the precessing jet frame) receive
+density + momentum + energy.  Magnetic: tower injection (power-scaled).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ...core.indices import IDN, IM1, IM2, IM3, IEN
+
+
+class AGNFeedback:
+    def __init__(self, pin, units, jet_coords, magnetic_tower,
+                 mbar_over_kb, gamma, block="problem/cluster/agn_feedback"):
+        self.fixed_power = pin.get_or_add_real(block, "fixed_power", 0.0)
+        self.efficiency = pin.get_or_add_real(block, "efficiency", 1e-3)
+        self.thermal_fraction = pin.get_or_add_real(block,
+                                                    "thermal_fraction", 0.0)
+        self.kinetic_fraction = pin.get_or_add_real(block,
+                                                    "kinetic_fraction", 0.0)
+        self.magnetic_fraction = pin.get_or_add_real(block,
+                                                     "magnetic_fraction", 0.0)
+        total = (self.thermal_fraction + self.kinetic_fraction
+                 + self.magnetic_fraction)
+        if total > 0:
+            self.thermal_fraction /= total
+            self.kinetic_fraction /= total
+            self.magnetic_fraction /= total
+        self.thermal_radius = pin.get_or_add_real(block, "thermal_radius",
+                                                  0.01)
+        self.kinetic_jet_radius = pin.get_or_add_real(
+            block, "kinetic_jet_radius", 0.01)
+        self.kinetic_jet_thickness = pin.get_or_add_real(
+            block, "kinetic_jet_thickness", 0.02)
+        self.kinetic_jet_offset = pin.get_or_add_real(
+            block, "kinetic_jet_offset", 0.02)
+        # jet velocity/temperature pair (either may be derived)
+        c = units.speed_of_light()
+        kjt = pin.get_or_add_real(block, "kinetic_jet_temperature", -1.0)
+        kjv = pin.get_or_add_real(block, "kinetic_jet_velocity", -1.0)
+        gm1 = gamma - 1.0
+        if kjv < 0 and kjt >= 0:
+            e_jet = kjt / (mbar_over_kb * gm1)
+            kjv = math.sqrt(max(2 * (self.efficiency * c * c
+                                     - (1 - self.efficiency) * e_jet), 0.0))
+        elif kjv >= 0:
+            e_jet = max(self.efficiency * c * c
+                        - 0.5 * kjv ** 2, 0.0) / max(1 - self.efficiency,
+                                                     1e-300)
+        else:
+            kjv = math.sqrt(2 * self.efficiency) * c
+            e_jet = 0.0
+        self.kinetic_jet_velocity = kjv
+        self.kinetic_jet_e = e_jet
+        self.disabled = pin.get_or_add_bool(block, "disabled", False)
+        self.jet_coords = jet_coords
+        self.magnetic_tower = magnetic_tower
+        self.units = units
+        self.gamma = gamma
+
+        self.triggering = None  # set by pgen after AGNTriggering built
+        self._mesh_cell_volume = None
+
+    def power_and_mass_rate(self, mdot):
+        c2 = self.units.speed_of_light() ** 2
+        power = self.fixed_power + mdot * self.efficiency * c2
+        mass_rate = mdot * (1 - self.efficiency)
+        if self.efficiency > 0:
+            mass_rate = mass_rate + self.fixed_power / (self.efficiency * c2)
+        return power, mass_rate
+
+    def apply(self, u, prim, beta_dt, t, xb, yb, zb, mhd):
+        if self.disabled or (self.fixed_power == 0.0
+                             and self.triggering is None):
+            return u
+        cell_volume = self._mesh_cell_volume
+        r = jnp.sqrt(xb ** 2 + yb ** 2 + zb ** 2)
+        mdot = (self.triggering.accretion_rate(u, prim, r, cell_volume)
+                if self.triggering is not None else jnp.asarray(0.0))
+        power, mass_rate = self.power_and_mass_rate(mdot)
+
+        # thermal dump inside thermal_radius
+        if self.thermal_fraction > 0:
+            vol = 4.0 / 3.0 * math.pi * self.thermal_radius ** 3
+            de = self.thermal_fraction * power / vol * beta_dt
+            drho = self.thermal_fraction * mass_rate / vol * beta_dt
+            inside = r ** 2 <= self.thermal_radius ** 2
+            u = u.at[:, IEN].add(jnp.where(inside, de, 0.0))
+            # add density at fixed velocity: scale momenta, add KE
+            rho = u[:, IDN]
+            fac = jnp.where(inside, (rho + drho) / rho, 1.0)
+            ke_old = 0.5 * (u[:, IM1] ** 2 + u[:, IM2] ** 2
+                            + u[:, IM3] ** 2) / rho
+            u = u.at[:, IDN].add(jnp.where(inside, drho, 0.0))
+            for cidx in (IM1, IM2, IM3):
+                u = u.at[:, cidx].multiply(fac)
+            u = u.at[:, IEN].add(jnp.where(inside, ke_old * (fac - 1.0), 0.0))
+
+        # kinetic jet slabs
+        if self.kinetic_fraction > 0:
+            rj, cth, sth, h = self.jet_coords.sim_to_jet(xb, yb, zb, t)
+            in_jet = ((rj < self.kinetic_jet_radius)
+                      & (jnp.abs(h) >= self.kinetic_jet_offset)
+                      & (jnp.abs(h) <= self.kinetic_jet_offset
+                         + self.kinetic_jet_thickness))
+            scal = 1.0 / (2 * self.kinetic_jet_thickness * math.pi
+                          * self.kinetic_jet_radius ** 2)
+            jet_density = self.kinetic_fraction * mass_rate * scal * beta_dt
+            jet_momentum = jet_density * self.kinetic_jet_velocity
+            jet_feedback = self.kinetic_fraction * power * scal * beta_dt
+            ax, ay, az = self.jet_coords.jet_vec_to_sim(
+                cth, sth, 0.0, 0.0, jnp.ones_like(h), t)
+            sign = jnp.where(h > 0, 1.0, -1.0)
+            u = u.at[:, IDN].add(jnp.where(in_jet, jet_density, 0.0))
+            u = u.at[:, IM1].add(jnp.where(in_jet,
+                                           jet_momentum * sign * ax, 0.0))
+            u = u.at[:, IM2].add(jnp.where(in_jet,
+                                           jet_momentum * sign * ay, 0.0))
+            u = u.at[:, IM3].add(jnp.where(in_jet,
+                                           jet_momentum * sign * az, 0.0))
+            u = u.at[:, IEN].add(jnp.where(in_jet, jet_feedback, 0.0))
+
+        # magnetic tower
+        if mhd and self.magnetic_fraction > 0:
+            u = self.magnetic_tower.power_src_term(
+                u, self.magnetic_fraction * power,
+                self.magnetic_fraction * mass_rate, beta_dt, t, xb, yb, zb,
+                cell_volume)
+
+        # mass removal by the triggering region
+        if self.triggering is not None:
+            u = self.triggering.remove_accreted(u, prim, r, mdot, beta_dt,
+                                                cell_volume)
+        return u

@@ -1,0 +1,214 @@
+"""Cluster problem generator + source dispatch (reference
+``src/pgen/cluster.cpp``).
+
+Round-1 scope: gravity (NFW/BCG/SMBH), ACCEPT entropy, HSE initialization,
+uniform gas/B-field init, gravitational source term, cluster clips
+(density floor / velocity & temperature ceilings inside a clip radius).
+AGN feedback/triggering and the magnetic tower live in
+``agn_feedback.py`` (kinetic/thermal/magnetic injection).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.indices import (IDN, IM1, IM2, IM3, IEN, IB1, IB2, IB3,
+                             IV1, IV2, IV3, IPR, GLMMHD)
+from ...utils.units import Units, mean_molecular_weights
+from .entropy_profiles import ACCEPTEntropyProfile
+from .gravity import ClusterGravity, gravitational_field_source
+from .hse import HydrostaticEquilibriumSphere
+
+_cache = {}
+
+
+class _ClusterPkg:
+    def __init__(self, pin, mesh=None):
+        self.units = Units(pin)
+        he_x = pin.get_real("hydro", "He_mass_fraction")
+        self.mu, self.mu_e = mean_molecular_weights(he_x)
+        self.gamma = pin.get_real("hydro", "gamma")
+        self.gravity = ClusterGravity(pin, self.units)
+        self.entropy = ACCEPTEntropyProfile(pin, self.units)
+        self.hse = HydrostaticEquilibriumSphere(
+            pin, self.units, self.gravity, self.entropy, self.mu, self.mu_e)
+        c = "problem/cluster/gravity"
+        self.gravity_srcterm = pin.get_or_add_bool(c, "gravity_srcterm", True)
+        # clips (cluster_clips.cpp)
+        cl = "problem/cluster/clips"
+        self.clip_r = pin.get_or_add_real(cl, "clip_r", -1.0)
+        self.clip_dfloor = pin.get_or_add_real(cl, "dfloor", -1.0)
+        self.clip_vceil = pin.get_or_add_real(cl, "vceil", float("inf"))
+        self.clip_vAceil = pin.get_or_add_real(cl, "vAceil", float("inf"))
+        self.clip_Tceil = pin.get_or_add_real(cl, "Tceil", float("inf"))
+        self.mbar_over_kb = self.mu * self.units.mh() / \
+            self.units.k_boltzmann()
+        # AGN subsystem (optional)
+        from .agn_feedback import AGNFeedback
+        from .agn_triggering import AGNTriggering
+        from .magnetic_tower import MagneticTower
+        from .jet_coords import JetCoords
+        self.jet_coords = JetCoords(pin)
+        self.magnetic_tower = MagneticTower(pin, self.units, self.jet_coords)
+        self.agn_feedback = AGNFeedback(pin, self.units, self.jet_coords,
+                                        self.magnetic_tower,
+                                        self.mbar_over_kb, self.gamma)
+        self.agn_triggering = AGNTriggering(pin, self.units,
+                                            self.mbar_over_kb, self.gamma)
+        if self.agn_triggering.mode != "NONE":
+            self.agn_feedback.triggering = self.agn_triggering
+
+        # HSE self-test output (reference test_he_sphere.dat)
+        h = "problem/cluster/hydrostatic_equilibrium"
+        if pin.get_or_add_bool(h, "test_he_sphere", False):
+            r0 = pin.get_or_add_real(h, "test_he_sphere_r_start",
+                                     1e-3 * self.units.kpc())
+            r1 = pin.get_or_add_real(h, "test_he_sphere_r_end",
+                                     4000 * self.units.kpc())
+            n_r = pin.get_or_add_integer(h, "test_he_sphere_n_r", 4000)
+            self.hse.generate_p_rho_profile(r0, r1, n_r).write(
+                "test_he_sphere.dat")
+
+
+def _pkg(pin):
+    key = id(pin)
+    if key not in _cache:
+        _cache[key] = _ClusterPkg(pin)
+    return _cache[key]
+
+
+def register_defaults(pin):
+    return _pkg(pin)
+
+
+def init_user_mesh_data(pin):
+    _pkg(pin)
+
+
+def problem_generator(pin, mesh, cfg, eos):
+    pkg = _pkg(pin)
+    gm1 = pkg.gamma - 1.0
+    mhd = cfg.fluid == GLMMHD
+    u = np.zeros((mesh.nblocks, cfg.nvar) + mesh.block_shape)
+
+    x, y, z = mesh.cell_centers_mesh()
+    shape = (mesh.nblocks,) + mesh.block_shape
+    xb = np.broadcast_to(x, shape)
+    yb = np.broadcast_to(y, shape)
+    zb = np.broadcast_to(z, shape)
+    r = np.sqrt(xb ** 2 + yb ** 2 + zb ** 2)
+
+    ug = "problem/cluster/uniform_gas"
+    if pin.get_or_add_bool(ug, "init_uniform_gas", False):
+        rho = pin.get_real(ug, "rho")
+        ux = pin.get_real(ug, "ux")
+        uy = pin.get_real(ug, "uy")
+        uz = pin.get_real(ug, "uz")
+        pres = pin.get_real(ug, "pres")
+        u[:, IDN] = rho
+        u[:, IM1] = rho * ux
+        u[:, IM2] = rho * uy
+        u[:, IM3] = rho * uz
+        u[:, IEN] = pres / gm1 + 0.5 * rho * (ux ** 2 + uy ** 2 + uz ** 2)
+    else:
+        profile = pkg.hse.profile_for_mesh(mesh)
+        p_r = np.interp(r.ravel(), profile.r, profile.p).reshape(r.shape)
+        k_r = np.asarray(pkg.entropy.k_from_r(jnp.asarray(r)))
+        rho = np.asarray(pkg.hse.rho_from_p_k(p_r, k_r))
+        u[:, IDN] = rho
+        u[:, IEN] = p_r / gm1
+
+    if mhd:
+        ub = "problem/cluster/uniform_b_field"
+        if pin.get_or_add_bool(ub, "init_uniform_b_field", False):
+            bx = pin.get_real(ub, "bx")
+            by = pin.get_real(ub, "by")
+            bz = pin.get_real(ub, "bz")
+            u[:, IB1] += bx
+            u[:, IB2] += by
+            u[:, IB3] += bz
+        db = "problem/cluster/dipole_b_field"
+        if pin.get_or_add_bool(db, "init_dipole_b_field", False):
+            mx = pin.get_real(db, "mx")
+            my = pin.get_real(db, "my")
+            mz = pin.get_real(db, "mz")
+            # dipole field from vector potential A = m x r / r^3
+            r3 = np.maximum(r, mesh.min_dx / 2) ** 3
+            u[:, IB1] += (3 * xb * (mx * xb + my * yb + mz * zb) / r ** 2
+                          - mx) / r3
+            u[:, IB2] += (3 * yb * (mx * xb + my * yb + mz * zb) / r ** 2
+                          - my) / r3
+            u[:, IB3] += (3 * zb * (mx * xb + my * yb + mz * zb) / r ** 2
+                          - mz) / r3
+        # initial magnetic tower (fixed-field injection at t=0)
+        u = pkg.magnetic_tower.initial_field(pin, mesh, u)
+        u[:, IEN] += 0.5 * (u[:, IB1] ** 2 + u[:, IB2] ** 2 + u[:, IB3] ** 2)
+    return u
+
+
+def problem_source_unsplit(pin, mesh, cfg, eos):
+    """Cluster source dispatch (``ClusterUnsplitSrcTerm``,
+    cluster.cpp:63-107): gravity + AGN feedback + clips."""
+    pkg = _pkg(pin)
+    x, y, z = mesh.cell_centers_mesh()
+    shape = (mesh.nblocks,) + mesh.block_shape
+    xb = jnp.asarray(np.broadcast_to(x, shape))
+    yb = jnp.asarray(np.broadcast_to(y, shape))
+    zb = jnp.asarray(np.broadcast_to(z, shape))
+    r = jnp.sqrt(xb ** 2 + yb ** 2 + zb ** 2)
+    gm1 = pkg.gamma - 1.0
+    mhd = cfg.fluid == GLMMHD
+    pkg.agn_feedback._mesh_cell_volume = mesh.cell_volume
+
+    def src(u, prim, mesh_, beta_dt, t):
+        if pkg.gravity_srcterm:
+            u = gravitational_field_source(pkg.gravity, u, prim, mesh_,
+                                           beta_dt, xb, yb, zb)
+        u = pkg.agn_feedback.apply(u, prim, beta_dt, t, xb, yb, zb, mhd)
+        u = _apply_clips(pkg, u, r, gm1, mhd)
+        return u
+
+    return src
+
+
+def _apply_clips(pkg, u, r, gm1, mhd):
+    """Cluster clips (``cluster_clips.cpp``): inside clip_r, apply density
+    floor and velocity/Alfven/temperature ceilings."""
+    if pkg.clip_r <= 0.0:
+        return u
+    inside = r < pkg.clip_r
+    rho = u[:, IDN]
+    if pkg.clip_dfloor > 0.0:
+        new_rho = jnp.where(inside & (rho < pkg.clip_dfloor),
+                            pkg.clip_dfloor, rho)
+        u = u.at[:, IDN].set(new_rho)
+        rho = new_rho
+    if math.isfinite(pkg.clip_vceil):
+        v2 = (u[:, IM1] ** 2 + u[:, IM2] ** 2 + u[:, IM3] ** 2) / rho ** 2
+        v = jnp.sqrt(v2)
+        over = inside & (v > pkg.clip_vceil)
+        fac = jnp.where(over, pkg.clip_vceil / jnp.maximum(v, 1e-30), 1.0)
+        ke_old = 0.5 * rho * v2
+        for c in (IM1, IM2, IM3):
+            u = u.at[:, c].multiply(fac)
+        ke_new = ke_old * fac ** 2
+        u = u.at[:, IEN].add(-(ke_old - ke_new))
+    if mhd and math.isfinite(pkg.clip_vAceil):
+        # Alfven-speed ceiling implemented as a density *raise*
+        b2 = u[:, IB1] ** 2 + u[:, IB2] ** 2 + u[:, IB3] ** 2
+        rho_min = b2 / (pkg.clip_vAceil ** 2)
+        new_rho = jnp.where(inside & (rho < rho_min), rho_min, rho)
+        u = u.at[:, IDN].set(new_rho)
+        rho = new_rho
+    if math.isfinite(pkg.clip_Tceil):
+        ke = 0.5 * (u[:, IM1] ** 2 + u[:, IM2] ** 2 + u[:, IM3] ** 2) / rho
+        me = (0.5 * (u[:, IB1] ** 2 + u[:, IB2] ** 2 + u[:, IB3] ** 2)
+              if mhd else 0.0)
+        eint = u[:, IEN] - ke - me
+        e_ceil = pkg.clip_Tceil / pkg.mbar_over_kb / gm1 * rho
+        over = inside & (eint > e_ceil)
+        u = u.at[:, IEN].set(jnp.where(over, e_ceil + ke + me, u[:, IEN]))
+    return u

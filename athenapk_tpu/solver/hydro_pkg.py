@@ -58,7 +58,7 @@ class HydroConfig:
     @classmethod
     def from_parameter_input(cls, pin) -> "HydroConfig":
         h = "hydro"
-        fluid = pin.get_string(h, "fluid")
+        fluid = pin.get_or_add_string(h, "fluid", EULER)
         if fluid not in (EULER, GLMMHD):
             raise ValueError(f"unknown fluid '{fluid}'")
         riemann = pin.get_string(h, "riemann")
