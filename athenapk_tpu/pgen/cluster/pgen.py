@@ -60,6 +60,10 @@ class _ClusterPkg:
                                             self.mbar_over_kb, self.gamma)
         if self.agn_triggering.mode != "NONE":
             self.agn_feedback.triggering = self.agn_triggering
+        from .snia_stellar_feedback import SNIAFeedback, StellarFeedback
+        self.snia_feedback = SNIAFeedback(pin, self.units, self.gravity)
+        self.stellar_feedback = StellarFeedback(pin, self.units, self.mu,
+                                                self.mbar_over_kb)
 
         # HSE self-test output (reference test_he_sphere.dat)
         h = "problem/cluster/hydrostatic_equilibrium"
@@ -168,6 +172,8 @@ def problem_source_unsplit(pin, mesh, cfg, eos):
             u = gravitational_field_source(pkg.gravity, u, prim, mesh_,
                                            beta_dt, xb, yb, zb)
         u = pkg.agn_feedback.apply(u, prim, beta_dt, t, xb, yb, zb, mhd)
+        u = pkg.snia_feedback.apply(u, prim, beta_dt, r)
+        u = pkg.stellar_feedback.apply(u, prim, beta_dt, r)
         u = _apply_clips(pkg, u, r, gm1, mhd)
         return u
 
