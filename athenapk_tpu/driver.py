@@ -209,12 +209,19 @@ class Simulation:
             c_h = self.pkg.c_h_from_dt_hyp(float(dt_hyp))
             sts = (self.pkg.diffusion.any_enabled
                    and self.pkg.diffusion.integrator == "rkl2")
+            fused_dt = not sts and self.src_first_order is None \
+                and self.tracer_state is None \
+                and getattr(self.pgen, "estimate_timestep", None) is None
             if sts:
                 # Strang wrap: half diffusive step before and after the
                 # hydro cycle (hydro_driver.cpp:456-458, 581-583)
                 self.u = self.pkg.sts_half_step(self.u, 0.5 * dt_eff,
                                                 self.dt_diff)
-            self.u = self.pkg.step(self.u, dt_eff, c_h, self.t)
+            if fused_dt:
+                self.u, dts = self.pkg.step_with_dt(self.u, dt_eff, c_h,
+                                                    self.t)
+            else:
+                self.u = self.pkg.step(self.u, dt_eff, c_h, self.t)
             if self.src_first_order is not None:
                 # first-order split source, once per cycle at full dt
                 # (AddSplitSourcesFirstOrder, hydro_driver.cpp:548-561)
@@ -236,7 +243,11 @@ class Simulation:
                 perf_cycles += 1
             self.tm_dt = dt_eff
 
-            dt_new, dt_hyp = self._estimate()
+            if fused_dt:
+                dt_new, dt_hyp, dt_diff = dts
+                self.dt_diff = float(dt_diff)
+            else:
+                dt_new, dt_hyp = self._estimate()
             dt = min(2.0 * dt, float(dt_new))
 
             if not self.quiet and self.ncycle_out > 0 and \

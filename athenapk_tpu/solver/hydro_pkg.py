@@ -127,6 +127,7 @@ class HydroPackage:
             self._active_dirs.append(3)
 
         self.step = jax.jit(self._step)
+        self.step_with_dt = jax.jit(self._step_with_dt)
         self.estimate_timestep = jax.jit(self._estimate_timestep)
         self.cons_to_prim = jax.jit(self._cons_to_prim)
         self._rkl2_first = jax.jit(self._rkl2_first_impl,
@@ -311,6 +312,14 @@ class HydroPackage:
                                     tab["gam0"][s], tab["gam1"][s],
                                     tab["beta"][s] * dt, c_h, recon, cur_t)
         return u0
+
+    def _step_with_dt(self, u, dt, c_h, t=0.0):
+        """One cycle + next-dt estimate fused into a single jit (saves a
+        separate cons->prim pass and a dispatch per cycle)."""
+        u_new = self._step(u, dt, c_h, t)
+        _, prim = self._cons_to_prim(u_new)
+        dts = self._estimate_timestep(prim)
+        return u_new, dts
 
     # ------------------------------------------------------------------- dt
     def _estimate_timestep(self, prim):
