@@ -1,0 +1,154 @@
+"""Performance grid runner — replicates the reference performance suite
+(``tst/regression/test_suites/performance/performance.py:32-54``): 3D
+linear wave over {fluid x reconstruction x integrator x block-size},
+parsing ``zone-cycles/wallsecond`` from each run.
+
+Usage:  python scripts/performance_grid.py [--n 244] [--quick]
+Writes results to ``performance_grid.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+# the reference grid (hydro + MHD method combos); block sizes adapted to
+# lane-aligned widths (padded NX = 128)
+HYDRO_COMBOS = [
+    ("euler", "rk1", "dc", "hlle"),
+    ("euler", "vl2", "plm", "hlle"),
+    ("euler", "rk2", "plm", "hlle"),
+    ("euler", "rk3", "ppm", "hlle"),
+    ("euler", "rk3", "wenoz", "hlle"),
+]
+MHD_COMBOS = [
+    ("glmmhd", "vl2", "plm", "hlle"),
+    ("glmmhd", "vl2", "weno3", "hlle"),
+    ("glmmhd", "rk2", "weno3", "hlle"),
+    ("glmmhd", "rk3", "weno3", "hlle"),
+    ("glmmhd", "rk2", "limo3", "hlle"),
+    ("glmmhd", "rk3", "wenoz", "hlle"),
+    ("glmmhd", "vl2", "ppm", "hlld"),
+]
+
+
+def run_one(fluid, integ, recon, riemann, n, dtype, ncycles=10, warmup=2):
+    import time
+
+    import jax.numpy as jnp
+
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.driver import Simulation
+    from athenapk_tpu.recon import nghost_for
+
+    g = nghost_for(recon)
+    mb1 = 128 - 2 * g  # lane-aligned padded width
+    n1 = 2 * mb1
+    ny = max(32, (n // 2 // 32) * 32)
+    deck = f"""
+<job>
+problem_id = linear_wave_mhd
+
+<problem/linear_wave>
+compute_error = false
+wave_flag = 0
+amp = 1.0e-6
+test = true
+
+<parthenon/mesh>
+nghost = {g}
+nx1 = {n1}
+x1min = 0.0
+x1max = 3.0
+nx2 = {ny}
+x2min = 0.0
+x2max = 1.5
+nx3 = {ny}
+x3min = 0.0
+x3max = 1.5
+
+<parthenon/meshblock>
+nx1 = {mb1}
+nx2 = 32
+nx3 = 32
+
+<parthenon/time>
+integrator = {integ}
+cfl = 0.3
+tlim = 100.0
+nlim = {ncycles}
+ncycle_out = 0
+
+<hydro>
+fluid = {fluid}
+eos = adiabatic
+riemann = {riemann}
+reconstruction = {recon}
+gamma = 1.666666666666667
+"""
+    if fluid == "euler":
+        deck = deck.replace("problem_id = linear_wave_mhd",
+                            "problem_id = linear_wave")
+    pin = ParameterInput.from_string(deck)
+    sim = Simulation(pin, quiet=True)
+    if dtype != "float64":
+        sim.u = sim.u.astype(jnp.dtype(dtype))
+    zones = sim.mesh.nx1 * sim.mesh.nx2 * sim.mesh.nx3
+    dt, dt_hyp = sim._estimate()
+    dt = float(dt)
+    t_start = None
+    counted = 0
+    for cyc in range(ncycles):
+        if cyc == warmup:
+            sim.u.block_until_ready()
+            t_start = time.time()
+        c_h = sim.pkg.c_h_from_dt_hyp(float(dt_hyp))
+        sim.u, dts = sim.pkg.step_with_dt(sim.u, dt, c_h, sim.t)
+        sim.t += dt
+        if t_start is not None:
+            counted += 1
+        dt = min(2.0 * dt, float(dts[0]))
+        dt_hyp = dts[1]
+    sim.u.block_until_ready()
+    wall = time.time() - t_start
+    return zones * counted / wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=244)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    combos = HYDRO_COMBOS + MHD_COMBOS
+    if args.quick:
+        combos = [HYDRO_COMBOS[1], MHD_COMBOS[-1]]
+    results = []
+    for fluid, integ, recon, riemann in combos:
+        try:
+            zcps = run_one(fluid, integ, recon, riemann, args.n, args.dtype)
+            print(f"{fluid:7s} {integ:4s} {recon:6s} {riemann:5s}: "
+                  f"{zcps:.4e} zone-cycles/s", flush=True)
+            results.append(dict(fluid=fluid, integrator=integ,
+                                reconstruction=recon, riemann=riemann,
+                                zone_cycles_per_s=zcps))
+        except Exception as e:  # noqa: BLE001
+            print(f"{fluid} {integ} {recon} {riemann}: FAILED {e}",
+                  flush=True)
+    with open("performance_grid.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
