@@ -14,6 +14,7 @@ Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -112,6 +113,19 @@ gamma = 1.666666666666667
     return zones * counted / wall, wall, counted
 
 
+def _tpu_alive(timeout=180):
+    """Probe the TPU in a subprocess (the axon tunnel can wedge after a
+    device fault; a hung client would stall the whole bench)."""
+    code = ("import jax, jax.numpy as jnp; "
+            "x=(jnp.ones(4)*2).sum(); x.block_until_ready(); print('OKOK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True)
+        return b"OKOK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     # Default grid: 244x128x128 with (122,32,32) blocks — mb1=122 makes the
     # padded block width exactly 128 lanes for nghost=3 (PPM), which is
@@ -122,6 +136,11 @@ def main():
     # times; the production TPU path runs f32 (correctness gates run f64 on
     # CPU in tests/).  Override with BENCH_DTYPE=float64.
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    device_note = "tpu"
+    if not _tpu_alive():
+        log("TPU unavailable (tunnel wedged?) — falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        device_note = "cpu-fallback"
     tries = [(n, mb), (122, 122), (64, 32)]
     value = None
     for nn, mm in tries:
@@ -141,7 +160,8 @@ def main():
         return 1
     print(json.dumps({
         "metric": f"zone-cycles/s (3D MHD linear wave, HLLD+PPM+VL2, "
-                  f"{dtype}, grid {size}x{max(32,(size//2//32)*32)}^2)",
+                  f"{dtype}, grid {size}x{max(32,(size//2//32)*32)}^2, "
+                  f"{device_note})",
         "value": value,
         "unit": "zone-cycles/s",
         "vs_baseline": value / A100_BASELINE_ZCPS,
