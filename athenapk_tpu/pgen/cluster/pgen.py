@@ -218,3 +218,61 @@ def _apply_clips(pkg, u, r, gm1, mhd):
         over = inside & (eint > e_ceil)
         u = u.at[:, IEN].set(jnp.where(over, e_ceil + ke + me, u[:, IEN]))
     return u
+
+
+def history_columns(pin, mesh, cfg, eos):
+    """Cluster history reductions (``cluster_reductions.cpp:18-100`` +
+    the agn_feedback_power column): cold-gas mass below a temperature
+    threshold and max radial extent of the AGN jet tracer."""
+    import jax.numpy as jnp
+    pkg = _pkg(pin)
+    gm1 = pkg.gamma - 1.0
+    cols = []
+    r = "problem/cluster/reductions"
+    cold_thresh = pin.get_or_add_real(r, "cold_temp_threshold", -1.0)
+    tracer_thresh = pin.get_or_add_real(r, "agn_tracer_threshold", -1.0)
+    if cold_thresh > 0.0:
+        e_thresh = cold_thresh / pkg.mbar_over_kb / gm1
+
+        def _cold_gas(u, w, mesh_):
+            sl = mesh_.interior_slices
+            wi = w[sl]
+            internal_e = wi[:, IPR] / (gm1 * wi[:, IDN])
+            return jnp.sum(jnp.where(internal_e < e_thresh,
+                                     wi[:, IDN], 0.0)) * mesh_.cell_volume
+
+        cols.append(("cold_mass", _cold_gas))
+    if tracer_thresh > 0.0 and cfg.nscalars > 0:
+        from ...core.indices import NGLMMHD, NHYDRO
+        nbase = NGLMMHD if cfg.fluid == GLMMHD else NHYDRO
+        x, y, z = mesh.cell_centers_mesh()
+        shape = (mesh.nblocks,) + mesh.block_shape
+        r2 = jnp.asarray(np.broadcast_to(x**2 + y**2 + z**2, shape))
+        sl = mesh.interior_slices
+        isl = tuple([sl[0]] + list(sl[2:]))
+        r2i = r2[isl]
+
+        def _agn_extent(u, w, mesh_):
+            s_ = u[mesh_.interior_slices][:, nbase]
+            return jnp.sqrt(jnp.max(jnp.where(s_ > tracer_thresh,
+                                              r2i, 0.0)))
+
+        cols.append(("agn_extent", _agn_extent))
+
+    xh, yh, zh = mesh.cell_centers_mesh()
+    shape_h = (mesh.nblocks,) + mesh.block_shape
+    r_all = jnp.asarray(np.sqrt(np.broadcast_to(
+        xh ** 2 + yh ** 2 + zh ** 2, shape_h)))
+
+    def _feedback_power(u, w, mesh_):
+        fb = pkg.agn_feedback
+        if fb.triggering is None:
+            mdot = jnp.asarray(0.0)
+        else:
+            mdot = fb.triggering.accretion_rate(u, w, r_all,
+                                                mesh_.cell_volume)
+        power, _ = fb.power_and_mass_rate(mdot)
+        return jnp.asarray(power)
+
+    cols.append(("agn_feedback_power", _feedback_power))
+    return cols
