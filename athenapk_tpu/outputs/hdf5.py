@@ -41,7 +41,8 @@ def write_phdf(filename: str, mesh: Mesh, fluid: str, t, dt, ncycle,
                cons: Optional[np.ndarray] = None,
                prim: Optional[np.ndarray] = None,
                single_precision: bool = False,
-               extra_params: Optional[dict] = None):
+               extra_params: Optional[dict] = None,
+               write_xdmf: bool = True):
     import h5py
 
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
@@ -84,6 +85,55 @@ def write_phdf(filename: str, mesh: Mesh, fluid: str, t, dt, ncycle,
             fh.create_dataset(
                 f"VarNames_{name}",
                 data=np.array([s.encode() for s in names]))
+    if write_xdmf:
+        _write_xdmf(filename, mesh, fluid, t, cons is not None,
+                    prim is not None)
+
+
+def _write_xdmf(h5name: str, mesh: Mesh, fluid: str, t, has_cons, has_prim):
+    """XDMF sidecar so ParaView/VisIt can open the dumps (the reference's
+    Parthenon outputs ship .xdmf next to each .phdf)."""
+    import os as _os
+    base = _os.path.basename(h5name)
+    lines = ['<?xml version="1.0" ?>',
+             '<Xdmf Version="3.0">', '<Domain>',
+             f'<Grid Name="mesh" GridType="Collection" '
+             f'CollectionType="Spatial">',
+             f'<Time Value="{float(t)}"/>']
+    nb = mesh.nblocks
+    nz, ny, nx = mesh.mbnx3, mesh.mbnx2, mesh.mbnx1
+    for b in range(nb):
+        x0, y0, z0 = mesh.block_origin(b)
+        lines += [
+            f'<Grid Name="block{b}" GridType="Uniform">',
+            f'<Topology TopologyType="3DCoRectMesh" '
+            f'Dimensions="{nz + 1} {ny + 1} {nx + 1}"/>',
+            '<Geometry GeometryType="ORIGIN_DXDYDZ">',
+            f'<DataItem Dimensions="3" Format="XML">'
+            f'{z0} {y0} {x0}</DataItem>',
+            f'<DataItem Dimensions="3" Format="XML">'
+            f'{mesh.dx3} {mesh.dx2} {mesh.dx1}</DataItem>',
+            '</Geometry>']
+        for kind, present in (("cons", has_cons), ("prim", has_prim)):
+            if not present:
+                continue
+            labels = (_CONS_NAMES if kind == "cons" else _PRIM_NAMES)[fluid]
+            for vi, lab in enumerate(labels):
+                lines += [
+                    f'<Attribute Name="{lab}" Center="Cell">',
+                    f'<DataItem ItemType="HyperSlab" '
+                    f'Dimensions="1 1 {nz} {ny} {nx}" Type="HyperSlab">',
+                    f'<DataItem Dimensions="3 5" Format="XML">'
+                    f'{b} {vi} 0 0 0  1 1 1 1 1  1 1 {nz} {ny} {nx}'
+                    f'</DataItem>',
+                    f'<DataItem Format="HDF" Dimensions='
+                    f'"{nb} {len(labels)} {nz} {ny} {nx}">'
+                    f'{base}:/{kind}</DataItem>',
+                    '</DataItem>', '</Attribute>']
+        lines.append('</Grid>')
+    lines += ['</Grid>', '</Domain>', '</Xdmf>']
+    with open(h5name + ".xdmf", "w") as fh:
+        fh.write("\n".join(lines))
 
 
 class PhdfData:
