@@ -28,7 +28,6 @@ class SNIAFeedback:
         # BCG-only copy of the gravity profile (no NFW/SMBH)
         import copy
         self.bcg = copy.copy(bcg_gravity)
-        object.__setattr__ if False else None
         self.bcg.include_nfw = False
         self.bcg.include_smbh = False
         if not self.disabled and (self.power_per_bcg_mass
