@@ -89,8 +89,9 @@ gamma = 1.666666666666667
         import jax.numpy as jnp
         sim.u = sim.u.astype(jnp.dtype(dtype))
     zones = sim.mesh.nx1 * sim.mesh.nx2 * sim.mesh.nx3
-    log(f"bench: {n}x{n//2}x{n//2} zones={zones} blocks={sim.mesh.nblocks} "
-        f"mb={mb}^3 device={jax.devices()[0].platform}")
+    log(f"bench: {sim.mesh.nx1}x{sim.mesh.nx2}x{sim.mesh.nx3} "
+        f"zones={zones} blocks={sim.mesh.nblocks} "
+        f"mb=({mb},{mby},{mby}) device={jax.devices()[0].platform}")
 
     # run via the driver loop (counts cycles after warmup internally)
     dt, dt_hyp = sim._estimate()
