@@ -103,12 +103,13 @@ gamma = 1.666666666666667
             sim.u.block_until_ready()
             t_start = time.time()
         c_h = sim.pkg.c_h_from_dt_hyp(float(dt_hyp))
-        sim.u = sim.pkg.step(sim.u, dt, c_h, sim.t)
+        # fused step + dt estimate (one jitted call per cycle)
+        sim.u, dts = sim.pkg.step_with_dt(sim.u, dt, c_h, sim.t)
         sim.t += dt
         if t_start is not None:
             counted += 1
-        dt_new, dt_hyp = sim._estimate()
-        dt = min(2.0 * dt, float(dt_new))
+        dt = min(2.0 * dt, float(dts[0]))
+        dt_hyp = dts[1]
     sim.u.block_until_ready()
     wall = time.time() - t_start
     return zones * counted / wall, wall, counted
