@@ -128,6 +128,8 @@ class HydroPackage:
 
         self.step = jax.jit(self._step)
         self.step_with_dt = jax.jit(self._step_with_dt)
+        self.advance_cycles = jax.jit(self._advance_cycles,
+                                      static_argnames=("n_cycles",))
         self.estimate_timestep = jax.jit(self._estimate_timestep)
         self.cons_to_prim = jax.jit(self._cons_to_prim)
         self._rkl2_first = jax.jit(self._rkl2_first_impl,
@@ -312,6 +314,38 @@ class HydroPackage:
                                     tab["gam0"][s], tab["gam1"][s],
                                     tab["beta"][s] * dt, c_h, recon, cur_t)
         return u0
+
+    def _advance_cycles(self, u, t, dt, dt_hyp, tlim, n_cycles):
+        """Run ``n_cycles`` cycles fully on-device via lax.scan: per-cycle
+        dt comes from the on-device estimate (2x growth cap, tlim clamp),
+        c_h from the previous hyperbolic dt — zero host sync inside.
+
+        Returns (u', t', dt_next, dt_hyp', n_taken) where cycles past tlim
+        become no-ops (masked)."""
+        cfg = self.cfg
+        mindx = self.mesh.min_dx
+
+        def body(carry, _):
+            u, t, dt, dt_hyp, taken = carry
+            active = t < tlim * (1.0 - 1e-14)
+            dt_eff = jnp.minimum(dt, tlim - t)
+            c_h = (cfg.cfl * mindx / dt_hyp if cfg.fluid == GLMMHD
+                   else jnp.asarray(0.0, u.dtype))
+            u_new, (dt_next, dt_hyp_new, _) = self._step_with_dt(
+                u, dt_eff, c_h, t)
+            u = jnp.where(active, u_new, u)
+            t = jnp.where(active, t + dt_eff, t)
+            dt = jnp.where(active,
+                           jnp.minimum(2.0 * dt_eff, dt_next), dt)
+            dt_hyp = jnp.where(active, dt_hyp_new, dt_hyp)
+            taken = taken + jnp.where(active, 1, 0)
+            return (u, t, dt, dt_hyp, taken), None
+
+        carry, _ = jax.lax.scan(
+            body, (u, jnp.asarray(t, u.dtype), jnp.asarray(dt, u.dtype),
+                   jnp.asarray(dt_hyp, u.dtype), jnp.asarray(0)),
+            None, length=n_cycles)
+        return carry
 
     def _step_with_dt(self, u, dt, c_h, t=0.0):
         """One cycle + next-dt estimate fused into a single jit (saves a
