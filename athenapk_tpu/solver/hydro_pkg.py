@@ -128,8 +128,10 @@ class HydroPackage:
 
         self.step = jax.jit(self._step)
         self.step_with_dt = jax.jit(self._step_with_dt)
+        # donate u: the scan loop rewrites the state every cycle anyway
         self.advance_cycles = jax.jit(self._advance_cycles,
-                                      static_argnames=("n_cycles",))
+                                      static_argnames=("n_cycles",),
+                                      donate_argnums=(0,))
         self.estimate_timestep = jax.jit(self._estimate_timestep)
         self.cons_to_prim = jax.jit(self._cons_to_prim)
         self._rkl2_first = jax.jit(self._rkl2_first_impl,
