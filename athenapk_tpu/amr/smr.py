@@ -1,0 +1,267 @@
+"""Static mesh refinement: level-grouped blocks with coarse-fine coupling.
+
+The TPU-native counterpart of Parthenon's SMR (SURVEY §2c "Block-structured
+mesh + AMR"): leaf blocks (from the native forest manager) are grouped by
+level into fixed-shape batched arrays; every ghost cell's provenance
+(same-level copy / prolongation from a coarse neighbor / restriction from
+fine neighbors) is precomputed on the host into gather index maps, so the
+runtime ghost fill is pure `take`+arithmetic — static shapes, jit-friendly,
+and under sharding the gathers become collectives.
+
+Scope (round 1): 3D periodic domains, 2:1-balanced static leaf sets, same
+global dt on all levels, cell-centered minmod prolongation / average
+restriction (athenapk_tpu.refinement).  Coarse-fine flux correction at
+level boundaries replaces the coarse face flux with the restricted fine
+fluxes (conservation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.amr_forest import AmrForest
+from ..core.mesh import Mesh
+from ..refinement.prolong_restrict import prolongate_minmod, restrict_average
+
+
+class SmrMesh:
+    """Leaf-block geometry for a static refined mesh.
+
+    Built from a base ``Mesh`` (whose meshblock defines the per-block cell
+    count at every level) plus refinement regions [(x1min,x1max,...,level)].
+    """
+
+    def __init__(self, base: Mesh, regions):
+        if base.ndim != 3:
+            raise NotImplementedError("SMR currently 3D only")
+        for bc in (base.ix1_bc, base.ox1_bc, base.ix2_bc, base.ox2_bc,
+                   base.ix3_bc, base.ox3_bc):
+            if bc != "periodic":
+                raise NotImplementedError("SMR currently periodic only")
+        self.base = base
+        max_level = max((r[-1] for r in regions), default=0)
+        forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
+                           max_level=max_level)
+        # iteratively refine blocks intersecting each region up to its level
+        for _ in range(max_level):
+            levels, lx1, lx2, lx3 = forest.leaves()
+            tags = np.zeros(forest.num_leaves, np.int32)
+            for (x0, x1, y0, y1, z0, z1, lev) in regions:
+                for i in range(forest.num_leaves):
+                    if levels[i] >= lev:
+                        continue
+                    w1 = (base.x1max - base.x1min) / (base.nb1 << levels[i])
+                    w2 = (base.x2max - base.x2min) / (base.nb2 << levels[i])
+                    w3 = (base.x3max - base.x3min) / (base.nb3 << levels[i])
+                    bx0 = base.x1min + lx1[i] * w1
+                    by0 = base.x2min + lx2[i] * w2
+                    bz0 = base.x3min + lx3[i] * w3
+                    if (bx0 < x1 and bx0 + w1 > x0 and by0 < y1
+                            and by0 + w2 > y0 and bz0 < z1
+                            and bz0 + w3 > z0):
+                        tags[i] = 1
+            if not tags.any():
+                break
+            forest.update(tags)
+        self.forest = forest
+        self.levels, self.lx1, self.lx2, self.lx3 = forest.leaves()
+        self.max_level = int(self.levels.max())
+        self.level_ids = {lev: np.where(self.levels == lev)[0]
+                          for lev in range(self.max_level + 1)}
+        # lookup: (level, lx1, lx2, lx3) -> global leaf id
+        self._by_loc = {(int(l), int(a), int(b), int(c)): i
+                        for i, (l, a, b, c) in enumerate(
+                            zip(self.levels, self.lx1, self.lx2, self.lx3))}
+
+    def dx(self, level):
+        b = self.base
+        return (b.dx1 / (1 << level), b.dx2 / (1 << level),
+                b.dx3 / (1 << level))
+
+    def find(self, level, a, b, c):
+        """Leaf id at location, or -1."""
+        return self._by_loc.get((level, a, b, c), -1)
+
+    def wrap(self, level, a, b, c):
+        e1 = self.base.nb1 << level
+        e2 = self.base.nb2 << level
+        e3 = self.base.nb3 << level
+        return (a % e1, b % e2, c % e3)
+
+    def block_origin(self, leaf_id):
+        lev = int(self.levels[leaf_id])
+        w1 = self.base.dx1 * self.base.mbnx1 / (1 << lev)
+        w2 = self.base.dx2 * self.base.mbnx2 / (1 << lev)
+        w3 = self.base.dx3 * self.base.mbnx3 / (1 << lev)
+        return (self.base.x1min + self.lx1[leaf_id] * w1,
+                self.base.x2min + self.lx2[leaf_id] * w2,
+                self.base.x3min + self.lx3[leaf_id] * w3)
+
+    def cell_centers_leaf(self, leaf_id):
+        """Ghost-inclusive cell centers (x, y, z broadcastable) for a leaf."""
+        b = self.base
+        lev = int(self.levels[leaf_id])
+        d1, d2, d3 = self.dx(lev)
+        x0, y0, z0 = self.block_origin(leaf_id)
+        g = b.nghost
+        x = x0 + (np.arange(b.NX) - g + 0.5) * d1
+        y = y0 + (np.arange(b.NY) - g + 0.5) * d2
+        z = z0 + (np.arange(b.NZ) - g + 0.5) * d3
+        return (x[None, None, :], y[None, :, None], z[:, None, None])
+
+
+class SmrState:
+    """Per-level batched state + precomputed ghost-fill plans."""
+
+    def __init__(self, smesh: SmrMesh, nvar: int):
+        self.smesh = smesh
+        self.nvar = nvar
+        b = smesh.base
+        self.block_shape = b.block_shape
+        # plans[level] = list of fill ops; built lazily below
+        self._plans = {lev: self._build_plan(lev)
+                       for lev in smesh.level_ids}
+
+    # ---------------------------------------------------------------- plans
+    def _build_plan(self, lev):
+        """For each block at this level and each of the 6 faces, record the
+        provenance: ('same', src_leaf) | ('coarse', src_leaf, octant) |
+        ('fine', [src leaves in face order]).
+
+        Ghost fill then runs face-by-face with batched gathers per kind.
+        """
+        sm = self.smesh
+        ops = []  # (block_local_idx, face, kind, payload)
+        ids = sm.level_ids[lev]
+        for loc_i, gid in enumerate(ids):
+            a, b_, c = int(sm.lx1[gid]), int(sm.lx2[gid]), int(sm.lx3[gid])
+            for face, (dx, dy, dz) in enumerate(
+                    [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                     (0, 0, -1), (0, 0, 1)]):
+                na, nb_, nc = sm.wrap(lev, a + dx, b_ + dy, c + dz)
+                same = sm.find(lev, na, nb_, nc)
+                if same >= 0:
+                    ops.append((loc_i, face, "same", same))
+                    continue
+                coarse = sm.find(lev - 1, na // 2, nb_ // 2, nc // 2) \
+                    if lev > 0 else -1
+                if coarse >= 0:
+                    # octant of MY neighbor-location within the coarse block
+                    octant = (na & 1) | ((nb_ & 1) << 1) | ((nc & 1) << 2)
+                    ops.append((loc_i, face, "coarse", (coarse, octant)))
+                    continue
+                # fine neighbors: the 4 children of the neighbor location
+                # touching my face
+                fa, fb, fc = 2 * na, 2 * nb_, 2 * nc
+                kids = []
+                for oc in range(8):
+                    ka = fa + (oc & 1)
+                    kb = fb + ((oc >> 1) & 1)
+                    kc = fc + ((oc >> 2) & 1)
+                    kid = sm.find(lev + 1, ka, kb, kc)
+                    if kid >= 0:
+                        kids.append((oc, kid))
+                if len(kids) == 8:
+                    ops.append((loc_i, face, "fine", kids))
+                else:
+                    raise RuntimeError(
+                        f"SMR neighbor resolution failed at level {lev} "
+                        f"block {gid} face {face}")
+        return ops
+
+    # ------------------------------------------------------------ ghost fill
+    def fill_ghosts(self, state):
+        """state: {level: [nb_lev, nvar, NZ, NY, NX]} -> ghost-filled.
+
+        Fill order (standard AMR sweep): (1) coarse ghosts overlying fine
+        regions via restriction, (2) same-level slab copies, (3) fine
+        ghosts adjacent to coarse regions via minmod prolongation — so the
+        prolongation stencil sees already-valid coarse ghosts.
+        """
+        sm = self.smesh
+        b = sm.base
+        g = b.nghost
+        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+        n_of_axis = {3: nx, 2: ny, 1: nz}
+        out = dict(state)
+
+        def ghost_slab(face):
+            """(slice into my block, axis, lo) for the face's ghost slab
+            (transverse extent: interior only; corners come via the
+            dimension-sweep of repeated fills)."""
+            sl = [slice(None), slice(g, g + nz), slice(g, g + ny),
+                  slice(g, g + nx)]
+            axis = 3 - face // 2
+            lo = face % 2 == 0
+            sl[axis] = slice(0, g) if lo else slice(g + n_of_axis[axis],
+                                                    2 * g + n_of_axis[axis])
+            return tuple(sl), axis, lo
+
+        def src_slab(axis, lo):
+            """Interior slab of the same-level source block."""
+            sl = [slice(None), slice(g, g + nz), slice(g, g + ny),
+                  slice(g, g + nx)]
+            n = n_of_axis[axis]
+            sl[axis] = slice(n, n + g) if lo else slice(g, 2 * g)
+            return tuple(sl)
+
+        loc_of = {}
+        for lev, ids in sm.level_ids.items():
+            for li, gid in enumerate(ids):
+                loc_of[gid] = (lev, li)
+
+        kinds_order = ("fine", "same", "coarse")
+        for kind_pass in kinds_order:
+            for lev in sorted(sm.level_ids):
+                u = out[lev]
+                for (li, face, kind, payload) in self._plans[lev]:
+                    if kind != kind_pass:
+                        continue
+                    gsl, axis, lo = ghost_slab(face)
+                    if kind == "same":
+                        slev, sli = loc_of[payload]
+                        u = u.at[(li,) + gsl].set(
+                            out[slev][sli][src_slab(axis, lo)])
+                    elif kind == "coarse":
+                        coarse_gid, octant = payload
+                        clev, cli = loc_of[coarse_gid]
+                        cu = out[clev][cli]
+                        ox, oy, oz = (octant & 1, (octant >> 1) & 1,
+                                      (octant >> 2) & 1)
+                        hx, hy, hz = nx // 2, ny // 2, nz // 2
+                        reg = cu[:,
+                                 g + oz * hz - 1:g + (oz + 1) * hz + 1,
+                                 g + oy * hy - 1:g + (oy + 1) * hy + 1,
+                                 g + ox * hx - 1:g + (ox + 1) * hx + 1]
+                        fine = prolongate_minmod(reg, dims=3)
+                        # fine covers virtual neighbor cells [-2, n+2)
+                        sel = [slice(None), slice(2, nz + 2),
+                               slice(2, ny + 2), slice(2, nx + 2)]
+                        n = n_of_axis[axis]
+                        sel[axis] = (slice(n - g + 2, n + 2) if lo
+                                     else slice(2, 2 + g))
+                        u = u.at[(li,) + gsl].set(fine[tuple(sel)])
+                    elif kind == "fine":
+                        agg = jnp.zeros((self.nvar, nz, ny, nx),
+                                        dtype=u.dtype)
+                        for (oc, kid) in payload:
+                            klev, kli = loc_of[kid]
+                            ku = out[klev][kli]
+                            rest = restrict_average(
+                                ku[:, g:g + nz, g:g + ny, g:g + nx],
+                                dims=3)
+                            ox, oy, oz = (oc & 1, (oc >> 1) & 1,
+                                          (oc >> 2) & 1)
+                            agg = agg.at[
+                                :, oz * nz // 2:(oz + 1) * nz // 2,
+                                oy * ny // 2:(oy + 1) * ny // 2,
+                                ox * nx // 2:(ox + 1) * nx // 2].set(rest)
+                        vsl = [slice(None), slice(0, nz), slice(0, ny),
+                               slice(0, nx)]
+                        n = n_of_axis[axis]
+                        vsl[axis] = slice(n - g, n) if lo else slice(0, g)
+                        u = u.at[(li,) + gsl].set(agg[tuple(vsl)])
+                out[lev] = u
+        return out

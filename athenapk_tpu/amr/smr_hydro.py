@@ -1,0 +1,204 @@
+"""Hydro stepping on a static refined mesh (two+-level SMR).
+
+Per-level flux sweeps with level-scaled dx, coarse-fine flux correction
+(the reference's ``Load/Send/Receive/SetFluxCorrections`` machinery,
+``src/hydro/hydro_driver.cpp:507-531``): at every coarse face adjacent to
+a refined region the coarse flux is replaced by the area-restricted fine
+face fluxes, making the scheme conservative across level boundaries.
+
+Same global dt on all levels (the Parthenon default); ghost fill via
+``SmrState.fill_ghosts`` (restrict -> same -> prolong).
+
+Round-1 scope: euler/glmmhd hyperbolic core (no diffusion/cooling/source
+hooks yet), periodic domains; marked experimental.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.indices import GLMMHD, IDN, IPR
+from ..eos.adiabatic import cons_to_prim, fast_magnetosonic_speed
+from ..recon import reconstruct
+from ..riemann import solve_riemann
+from ..solver.integrators import INTEGRATORS
+from .smr import SmrMesh, SmrState
+
+_AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
+
+
+class SmrHydro:
+    def __init__(self, smesh: SmrMesh, cfg, eos):
+        self.smesh = smesh
+        self.cfg = cfg
+        self.eos = eos
+        self.state_mgr = SmrState(smesh, cfg.nvar)
+        mask = [False] * cfg.nvar
+        mask[IDN] = True
+        mask[IPR] = True
+        self._positivity_mask = jnp.asarray(mask)
+        # flux-correction site list: (level, local idx, face, fine kids)
+        self._fc_sites = []
+        for lev in smesh.level_ids:
+            for (li, face, kind, payload) in self.state_mgr._plans[lev]:
+                if kind == "fine":
+                    self._fc_sites.append((lev, li, face, payload))
+        self.step = jax.jit(self._step)
+
+    # ----------------------------------------------------------------- core
+    def _fluxes_level(self, prim, lev, c_h, recon):
+        dx = self.smesh.dx(lev)
+        out = {}
+        for d in (1, 2, 3):
+            axis = _AXIS_OF_DIR[d]
+            qm, qp = reconstruct(recon, prim, axis, dx[d - 1],
+                                 positivity_mask=self._positivity_mask)
+            wl = jnp.roll(qp, 1, axis=axis)
+            wr = qm
+            out[d] = solve_riemann(self.cfg.riemann, self.cfg.fluid,
+                                   self.eos, wl, wr, d, c_h=c_h,
+                                   nscalars=self.cfg.nscalars)
+        return out
+
+    def _flux_correct(self, fluxes):
+        """Replace coarse fluxes at coarse-fine faces with the 2x2
+        transverse average of the matching fine face fluxes."""
+        sm = self.smesh
+        b = sm.base
+        g = b.nghost
+        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+        loc_of = {}
+        for lev, ids in sm.level_ids.items():
+            for li, gid in enumerate(ids):
+                loc_of[gid] = (lev, li)
+
+        for (lev, li, face, kids) in self._fc_sites:
+            axis = 3 - face // 2            # 3=x, 2=y, 1=z (no var axis)
+            d = {3: 1, 2: 2, 1: 3}[axis]
+            lo = face % 2 == 0
+            n = {1: nx, 2: ny, 3: nz}[d]
+            # coarse face index (co-indexed i = face i-1/2)
+            cface = g if lo else g + n
+            # fine blocks on the matching side: octant bit along d equals
+            # (1 if my face is low else 0)
+            want = 1 if lo else 0
+            bit = {1: 0, 2: 1, 3: 2}[d]
+            sel_kids = [(oc, kid) for (oc, kid) in kids
+                        if (oc >> bit) & 1 == want]
+            # fine face index on their boundary
+            fface = g + n if lo else g
+            # assemble restricted transverse flux [nvar, tA, tB]
+            # transverse dims (in z,y,x order minus the normal one)
+            tdims = [t for t in (1, 2, 3) if t != d]  # e.g. x-face: (y,z)?
+            # build coarse-face transverse array by quadrant
+            Fc = None
+            for (oc, kid) in sel_kids:
+                klev, kli = loc_of[kid]
+                Ff = fluxes[klev][d][kli]
+                idx = [slice(None)] * 4
+                idx[4 + _AXIS_OF_DIR[d]] = fface
+                idx_interior = list(idx)
+                for t in tdims:
+                    nt = {1: nx, 2: ny, 3: nz}[t]
+                    idx_interior[4 + _AXIS_OF_DIR[t]] = slice(g, g + nt)
+                fine_face = Ff[tuple(idx_interior)]  # [nvar, tB, tA]
+                # 2x2 transverse restriction
+                rest = 0.25 * (fine_face[:, 0::2, 0::2]
+                               + fine_face[:, 1::2, 0::2]
+                               + fine_face[:, 0::2, 1::2]
+                               + fine_face[:, 1::2, 1::2])
+                if Fc is None:
+                    t_shapes = [({1: nx, 2: ny, 3: nz}[t]) for t in
+                                sorted(tdims, reverse=True)]
+                    Fc = jnp.zeros((rest.shape[0],) + tuple(t_shapes),
+                                   dtype=rest.dtype)
+                # quadrant position from the remaining octant bits
+                offs = []
+                for t in sorted(tdims, reverse=True):  # z-ish first
+                    tb = {1: 0, 2: 1, 3: 2}[t]
+                    nt = {1: nx, 2: ny, 3: nz}[t]
+                    offs.append(((oc >> tb) & 1) * (nt // 2))
+                Fc = Fc.at[:, offs[0]:offs[0] + rest.shape[1],
+                           offs[1]:offs[1] + rest.shape[2]].set(rest)
+            # write into the coarse flux array
+            F = fluxes[lev][d]
+            widx = [li, slice(None), slice(g, g + nz), slice(g, g + ny),
+                    slice(g, g + nx)]
+            widx[5 + _AXIS_OF_DIR[d]] = cface
+            fluxes[lev] = dict(fluxes[lev])
+            fluxes[lev][d] = F.at[tuple(widx)].set(Fc)
+        return fluxes
+
+    def _update_level(self, u0, u1, fluxes_lev, lev, gam0, gam1, beta_dt):
+        dx = self.smesh.dx(lev)
+        div = None
+        for d in (1, 2, 3):
+            F = fluxes_lev[d]
+            dF = (jnp.roll(F, -1, axis=_AXIS_OF_DIR[d]) - F) / dx[d - 1]
+            div = dF if div is None else div + dF
+        return gam0 * u0 + gam1 * u1 - beta_dt * div
+
+    def _step(self, state, dt, c_h):
+        cfg = self.cfg
+        tab = INTEGRATORS[cfg.integrator]
+        u0 = dict(state)
+        u1 = dict(state)
+        for s in range(tab["nstages"]):
+            recon = cfg.reconstruction
+            if cfg.integrator == "vl2" and s == 0:
+                recon = "dc"
+            prims = {}
+            flux = {}
+            for lev in u0:
+                u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
+                                         cfg.nscalars)
+                u0[lev] = u0f
+                prims[lev] = prim
+                flux[lev] = self._fluxes_level(prim, lev, c_h, recon)
+            flux = self._flux_correct(flux)
+            beta_dt = tab["beta"][s] * dt
+            for lev in u0:
+                u0[lev] = self._update_level(u0[lev], u1[lev], flux[lev],
+                                             lev, tab["gam0"][s],
+                                             tab["gam1"][s], beta_dt)
+            u0 = self.state_mgr.fill_ghosts(u0)
+        return u0
+
+    # ------------------------------------------------------------------- dt
+    def estimate_dt(self, state):
+        cfg = self.cfg
+        eos = self.eos
+        b = self.smesh.base
+        g = b.nghost
+        min_dt = jnp.inf
+        for lev, u in state.items():
+            _, w = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+            wi = w[:, :, g:-g, g:-g, g:-g]
+            rho = wi[:, IDN]
+            p = wi[:, IPR]
+            dx = self.smesh.dx(lev)
+            if cfg.fluid == GLMMHD:
+                from ..core.indices import IB1, IB2, IB3
+                b1, b2, b3 = wi[:, IB1], wi[:, IB2], wi[:, IB3]
+                lam = (fast_magnetosonic_speed(eos, rho, p, b1, b2, b3),
+                       fast_magnetosonic_speed(eos, rho, p, b2, b3, b1),
+                       fast_magnetosonic_speed(eos, rho, p, b3, b1, b2))
+            else:
+                c = jnp.sqrt(eos.gamma * p / rho)
+                lam = (c, c, c)
+            for d in (1, 2, 3):
+                min_dt = jnp.minimum(min_dt, jnp.min(
+                    dx[d - 1] / (jnp.abs(wi[:, d]) + lam[d - 1])))
+        return cfg.cfl * min_dt
+
+    # ------------------------------------------------------------ reductions
+    def total_mass(self, state):
+        b = self.smesh.base
+        g = b.nghost
+        total = 0.0
+        for lev, u in state.items():
+            vol = (self.smesh.dx(lev)[0] * self.smesh.dx(lev)[1]
+                   * self.smesh.dx(lev)[2])
+            total = total + jnp.sum(u[:, IDN, g:-g, g:-g, g:-g]) * vol
+        return total
