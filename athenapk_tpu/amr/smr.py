@@ -26,6 +26,25 @@ from ..core.mesh import Mesh
 from ..refinement.prolong_restrict import prolongate_minmod, restrict_average
 
 
+def smr_regions_from_deck(pin):
+    """Collect ``<parthenon/static_refinement{N}>`` blocks from a parsed
+    input deck into SmrMesh region tuples (x0,x1,y0,y1,z0,z1,level).
+
+    Mirrors the reference deck syntax (e.g. inputs/cluster/cluster.in:47-63
+    with ``<parthenon/mesh> refinement = static``).
+    """
+    regions = []
+    for name in sorted(pin.blocks):
+        if not name.startswith("parthenon/static_refinement"):
+            continue
+        regions.append((
+            pin.get_real(name, "x1min"), pin.get_real(name, "x1max"),
+            pin.get_real(name, "x2min"), pin.get_real(name, "x2max"),
+            pin.get_real(name, "x3min"), pin.get_real(name, "x3max"),
+            pin.get_integer(name, "level")))
+    return regions
+
+
 class SmrMesh:
     """Leaf-block geometry for a static refined mesh.
 

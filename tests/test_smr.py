@@ -10,7 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from athenapk_tpu.amr import SmrMesh, SmrState
+from athenapk_tpu.amr import SmrMesh, SmrState  # noqa: F401
 from athenapk_tpu.core.mesh import Mesh
 
 
@@ -140,3 +140,31 @@ def test_smr_evolution_conserves_mass(smr):
         np.testing.assert_array_equal(
             np.asarray(state2[k][:, :, g:-g, g:-g, g:-g]),
             s0[k][:, :, g:-g, g:-g, g:-g])
+
+
+def test_regions_from_deck():
+    from athenapk_tpu.amr import SmrMesh
+    from athenapk_tpu.amr.smr import smr_regions_from_deck
+    from athenapk_tpu.config.parameter_input import ParameterInput
+
+    deck = """
+<parthenon/mesh>
+refinement = static
+
+<parthenon/static_refinement0>
+x1min = 0.4
+x1max = 0.6
+x2min = 0.4
+x2max = 0.6
+x3min = 0.4
+x3max = 0.6
+level = 1
+"""
+    pin = ParameterInput.from_string(deck)
+    regions = smr_regions_from_deck(pin)
+    assert regions == [(0.4, 0.6, 0.4, 0.6, 0.4, 0.6, 1)]
+    base = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2)
+    sm = SmrMesh(base, regions)
+    assert sm.level_ids[1].size == 64
