@@ -52,7 +52,7 @@ class SmrMesh:
     count at every level) plus refinement regions [(x1min,x1max,...,level)].
     """
 
-    def __init__(self, base: Mesh, regions):
+    def __init__(self, base: Mesh, regions, max_level=None):
         if base.ndim != 3:
             raise NotImplementedError("SMR currently 3D only")
         for bc in (base.ix1_bc, base.ox1_bc, base.ix2_bc, base.ox2_bc,
@@ -60,11 +60,17 @@ class SmrMesh:
             if bc != "periodic":
                 raise NotImplementedError("SMR currently periodic only")
         self.base = base
-        max_level = max((r[-1] for r in regions), default=0)
+        # max_level: refinement ceiling (the deck's <parthenon/mesh>
+        # numlevel - 1); defaults to the deepest static region
+        region_max = max((r[-1] for r in regions), default=0)
+        if max_level is None:
+            max_level = region_max
+        if max_level < region_max:
+            raise ValueError("max_level below deepest static region")
         forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
                            max_level=max_level)
         # iteratively refine blocks intersecting each region up to its level
-        for _ in range(max_level):
+        for _ in range(region_max):
             levels, lx1, lx2, lx3 = forest.leaves()
             tags = np.zeros(forest.num_leaves, np.int32)
             for (x0, x1, y0, y1, z0, z1, lev) in regions:
@@ -84,15 +90,29 @@ class SmrMesh:
             if not tags.any():
                 break
             forest.update(tags)
+        self._adopt_forest(forest)
+
+    def _adopt_forest(self, forest):
         self.forest = forest
         self.levels, self.lx1, self.lx2, self.lx3 = forest.leaves()
         self.max_level = int(self.levels.max())
-        self.level_ids = {lev: np.where(self.levels == lev)[0]
-                          for lev in range(self.max_level + 1)}
+        # only levels that actually hold leaves (a fully-refined mesh has
+        # no level-0 blocks; empty batches would break the reductions)
+        self.level_ids = {lev: ids for lev in range(self.max_level + 1)
+                          if (ids := np.where(self.levels == lev)[0]).size}
         # lookup: (level, lx1, lx2, lx3) -> global leaf id
         self._by_loc = {(int(l), int(a), int(b), int(c)): i
                         for i, (l, a, b, c) in enumerate(
                             zip(self.levels, self.lx1, self.lx2, self.lx3))}
+
+    @classmethod
+    def from_forest(cls, base: Mesh, forest):
+        """Wrap an existing (already refined/updated) forest — the dynamic
+        AMR path, where ``forest.update`` has just been applied."""
+        sm = cls.__new__(cls)
+        sm.base = base
+        sm._adopt_forest(forest)
+        return sm
 
     def dx(self, level):
         b = self.base

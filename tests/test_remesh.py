@@ -1,0 +1,106 @@
+"""Dynamic AMR: conservative remesh transfers + criterion-driven evolution.
+
+Remesh transfers (minmod prolongation / average restriction) preserve
+block means, so a refine->derefine roundtrip conserves totals to
+rounding; a maxdensity-tagged advecting blob must stay refined where the
+blob is and the evolution must conserve mass through every remesh."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from athenapk_tpu.amr import SmrMesh
+from athenapk_tpu.amr.remesh import AmrHydro, remesh
+from athenapk_tpu.core.mesh import Mesh
+from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+from athenapk_tpu.refinement import RefinementConfig
+from athenapk_tpu.solver.hydro_pkg import HydroConfig
+
+
+def _mesh(n=32, mb=8, g=2):
+    return Mesh(nx1=n, nx2=n, nx3=n, mbnx1=mb, mbnx2=mb, mbnx3=mb,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g)
+
+
+def _blob_state(sm, eos, x0=0.25):
+    base = sm.base
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        w = np.zeros((len(ids), 5) + base.block_shape)
+        for li, gid in enumerate(ids):
+            x, y, z = sm.cell_centers_leaf(gid)
+            r2 = (x - x0) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+            w[li, 0] = 1.0 + np.broadcast_to(np.exp(-r2 / 0.005),
+                                             base.block_shape)
+            w[li, 1] = 1.0
+            w[li, 4] = 1.0
+        state[lev] = jnp.asarray(np.asarray(
+            prim_to_cons(eos, jnp.asarray(w), "euler")))
+    return state
+
+
+def _total_mass(sm, state):
+    g = sm.base.nghost
+    tot = 0.0
+    for lev, u in state.items():
+        d1, d2, d3 = sm.dx(lev)
+        tot += float(jnp.sum(u[:, 0, g:-g, g:-g, g:-g])) * d1 * d2 * d3
+    return tot
+
+
+def test_remesh_roundtrip_conserves():
+    base = _mesh()
+    sm = SmrMesh(base, [], max_level=1)
+    eos = EOS(gamma=5.0 / 3.0)
+    state = _blob_state(sm, eos)
+    from athenapk_tpu.amr.smr import SmrState
+    state = SmrState(sm, 5).fill_ghosts(state)
+    m0 = _total_mass(sm, state)
+
+    # refine the blob's block neighborhood
+    tags = np.zeros(sm.levels.size, np.int32)
+    for gid in range(sm.levels.size):
+        x, y, z = sm.cell_centers_leaf(gid)
+        if ((x - 0.25) ** 2).min() < 0.02 and \
+           ((y - 0.5) ** 2).min() < 0.02 and ((z - 0.5) ** 2).min() < 0.02:
+            tags[gid] = 1
+    sm2, state2 = remesh(sm, state, tags)
+    assert sm2.max_level == 1
+    m1 = _total_mass(sm2, state2)
+    assert abs(m1 - m0) / m0 < 1e-13
+
+    # derefine everything back
+    tags2 = -np.ones(sm2.levels.size, np.int32)
+    sm3, state3 = remesh(sm2, state2, tags2)
+    assert sm3.max_level == 0
+    assert sm3.levels.size == 64
+    m2 = _total_mass(sm3, state3)
+    assert abs(m2 - m0) / m0 < 1e-13
+
+
+def test_amr_blob_tracking():
+    base = _mesh(n=16, mb=8, g=3)
+    sm = SmrMesh(base, [], max_level=1)
+    eos = EOS(gamma=5.0 / 3.0)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="plm", integrator="rk2")
+    rcfg = RefinementConfig(method="maxdensity",
+                            maxdensity_refine_above=1.3,
+                            maxdensity_deref_below=1.1)
+    drv = AmrHydro(sm, cfg, eos, rcfg, check_interval=2)
+    state = _blob_state(sm, eos, x0=0.3)
+    from athenapk_tpu.amr.smr import SmrState
+    state = SmrState(sm, 5).fill_ghosts(state)
+    state, changed = drv.maybe_remesh(state)
+    assert changed and drv.smesh.max_level == 1
+    m0 = drv.total_mass(state)
+    state = drv.advance(state, 6)
+    m1 = drv.total_mass(state)
+    assert abs(float(m1) - float(m0)) / float(m0) < 1e-12
+    # refined region still tracks the (advected) blob: the densest cell
+    # must live on the finest level
+    gg = drv.smesh.base.nghost
+    best = {lev: float(jnp.max(u[:, 0, gg:-gg, gg:-gg, gg:-gg]))
+            for lev, u in state.items()}
+    assert best[drv.smesh.max_level] == max(best.values())
+    assert all(bool(jnp.isfinite(u).all()) for u in state.values())
