@@ -1,0 +1,198 @@
+"""Deck-driven simulations on refined meshes (static + adaptive).
+
+The refined-mesh counterpart of ``athenapk_tpu.driver.Simulation``,
+selected by ``<parthenon/mesh> refinement = static | adaptive`` (the
+reference's mesh modes, e.g. ``inputs/cluster/cluster.in:26`` static and
+``inputs/blast_3d_amr.in:12`` adaptive).
+
+Problem init reuses the UNIFORM problem generators unchanged via a
+per-leaf adapter: each leaf gets a single-block ``Mesh`` whose domain is
+the leaf's bounds, so ``pgen.problem_generator(pin, leaf_mesh, ...)``
+evaluates its fields at the leaf's own cell centers while global
+quantities (wavevectors, domain sizes) still come from the unmodified
+deck.  This is the analog of the reference calling ``ProblemGenerator``
+per MeshBlock at any refinement level.
+
+Round-1 scope: 3D periodic hyperbolic problems (euler / glmmhd without
+diffusion/cooling); history output only.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config.parameter_input import ParameterInput
+from ..core.mesh import Mesh
+from ..eos.adiabatic import EOS
+from ..pgen import get_pgen
+from ..refinement.criteria import RefinementConfig
+from ..solver.hydro_pkg import HydroConfig
+from .remesh import AmrHydro
+from .smr import SmrMesh, SmrState, smr_regions_from_deck
+from .smr_hydro import SmrHydro
+
+
+def leaf_mesh(smesh: SmrMesh, gid: int) -> Mesh:
+    """Single-block Mesh covering one leaf (for per-leaf pgen init)."""
+    b = smesh.base
+    lev = int(smesh.levels[gid])
+    x0, y0, z0 = smesh.block_origin(gid)
+    d1, d2, d3 = smesh.dx(lev)
+    return Mesh(nx1=b.mbnx1, nx2=b.mbnx2, nx3=b.mbnx3,
+                mbnx1=b.mbnx1, mbnx2=b.mbnx2, mbnx3=b.mbnx3,
+                x1min=x0, x1max=x0 + d1 * b.mbnx1,
+                x2min=y0, x2max=y0 + d2 * b.mbnx2,
+                x3min=z0, x3max=z0 + d3 * b.mbnx3,
+                nghost=b.nghost)
+
+
+def init_state_from_pgen(smesh: SmrMesh, pgen, pin, cfg, eos):
+    """{level: [nb, nvar, NZ, NY, NX]} from the uniform problem generator
+    applied leaf-by-leaf."""
+    state = {}
+    for lev, ids in smesh.level_ids.items():
+        blocks = []
+        for gid in ids:
+            lm = leaf_mesh(smesh, gid)
+            u = np.asarray(pgen.problem_generator(pin, lm, cfg, eos))
+            blocks.append(u[0])
+        state[lev] = jnp.asarray(np.stack(blocks))
+    return state
+
+
+class SmrSimulation:
+    """Time loop on a static or adaptive refined mesh."""
+
+    def __init__(self, pin: ParameterInput, quiet: bool = False):
+        self.pin = pin
+        self.quiet = quiet
+        self.problem_id = pin.get_string("job", "problem_id")
+
+        base = Mesh.from_parameter_input(pin)
+        mode = pin.get_string("parthenon/mesh", "refinement")
+        if mode not in ("static", "adaptive"):
+            raise ValueError(f"SmrSimulation: refinement={mode}")
+        self.adaptive = mode == "adaptive"
+        regions = smr_regions_from_deck(pin)
+        numlevel = pin.get_or_add_integer("parthenon/mesh", "numlevel", 1)
+        max_level = max(numlevel - 1,
+                        max((r[-1] for r in regions), default=0))
+        self.smesh = SmrMesh(base, regions, max_level=max_level)
+
+        self.cfg = HydroConfig.from_parameter_input(pin)
+        self.eos = EOS.from_parameter_input(pin)
+        self.pgen = get_pgen(self.problem_id)
+        hook = getattr(self.pgen, "init_user_mesh_data", None)
+        if hook is not None:
+            hook(pin)
+
+        if self.adaptive:
+            rcfg = RefinementConfig.from_parameter_input(pin)
+            self.driver = AmrHydro(self.smesh, self.cfg, self.eos, rcfg)
+        else:
+            self.driver = None
+            self.stepper = SmrHydro(self.smesh, self.cfg, self.eos)
+
+        self.state = init_state_from_pgen(self.smesh, self.pgen, pin,
+                                          self.cfg, self.eos)
+        self.state = SmrState(self.smesh, self.cfg.nvar).fill_ghosts(
+            self.state)
+
+        t = "parthenon/time"
+        self.tlim = pin.get_real(t, "tlim")
+        self.nlim = pin.get_or_add_integer(t, "nlim", -1)
+        self.ncycle_out = pin.get_or_add_integer(t, "ncycle_out", 1)
+        self.t = 0.0
+        self.ncycle = 0
+
+        # history output (sum-over-levels reductions)
+        self.hst_path = None
+        self.hst_dt = -1.0
+        self._hst_next = 0.0
+        for blk in pin.output_blocks():
+            if pin.get_string(blk, "file_type") == "hst":
+                oid = pin.get_or_add_string(blk, "id",
+                                            blk.rsplit("output", 1)[-1])
+                self.hst_path = f"{self.problem_id}.out{oid}.hst"
+                self.hst_dt = pin.get_or_add_real(blk, "dt", -1.0)
+                with open(self.hst_path, "w") as fh:
+                    fh.write("# [1]=time [2]=dt [3]=mass [4]=KE "
+                             "[5]=total_E\n")
+
+    # ---------------------------------------------------------------- helpers
+    def _stepper_now(self):
+        return self.driver._stepper if self.adaptive else self.stepper
+
+    def _smesh_now(self):
+        return self.driver.smesh if self.adaptive else self.smesh
+
+    def _reductions(self):
+        sm = self._smesh_now()
+        g = sm.base.nghost
+        mass = ke = etot = 0.0
+        for lev, u in self.state.items():
+            d1, d2, d3 = sm.dx(lev)
+            vol = d1 * d2 * d3
+            ui = u[:, :, g:-g, g:-g, g:-g]
+            mass += float(jnp.sum(ui[:, 0])) * vol
+            ke += float(jnp.sum(0.5 * (ui[:, 1] ** 2 + ui[:, 2] ** 2
+                                       + ui[:, 3] ** 2) / ui[:, 0])) * vol
+            etot += float(jnp.sum(ui[:, 4])) * vol
+        return mass, ke, etot
+
+    def _write_hst(self, dt):
+        if self.hst_path is None:
+            return
+        if self.hst_dt > 0.0 and self.t < self._hst_next:
+            return
+        self._hst_next = self.t + self.hst_dt
+        mass, ke, etot = self._reductions()
+        with open(self.hst_path, "a") as fh:
+            fh.write(f"{self.t:.14e} {dt:.14e} {mass:.14e} "
+                     f"{ke:.14e} {etot:.14e}\n")
+
+    def _c_h(self, dt):
+        if self.cfg.fluid != "glmmhd":
+            return 0.0
+        sm = self._smesh_now()
+        mindx = min(sm.dx(sm.max_level))
+        return self.cfg.cfl * mindx / dt if dt > 0 else 0.0
+
+    # -------------------------------------------------------------------- run
+    def run(self):
+        zones_per_block = (self.smesh.base.mbnx1 * self.smesh.base.mbnx2
+                           * self.smesh.base.mbnx3)
+        t0 = time.time()
+        zone_cycles = 0
+        self._write_hst(0.0)
+        while self.t < self.tlim and (self.nlim < 0
+                                      or self.ncycle < self.nlim):
+            if self.adaptive:
+                self.state, _ = self.driver.maybe_remesh(self.state)
+            st = self._stepper_now()
+            dt = float(st.estimate_dt(self.state))
+            dt = min(dt, self.tlim - self.t)
+            self.state = st.step(self.state, dt,
+                                 jnp.asarray(self._c_h(dt)))
+            self.t += dt
+            self.ncycle += 1
+            zone_cycles += zones_per_block * sum(
+                v.shape[0] for v in self.state.values())
+            if not self.quiet and self.ncycle_out > 0 \
+                    and self.ncycle % self.ncycle_out == 0:
+                nlv = {lev: v.shape[0] for lev, v in self.state.items()}
+                print(f"cycle={self.ncycle} time={self.t:.8e} "
+                      f"dt={dt:.8e} blocks={nlv}", flush=True)
+            self._write_hst(dt)
+        wall = time.time() - t0
+        if not self.quiet and zone_cycles:
+            print(f"zone-cycles/wallsecond = {zone_cycles / wall:.6e}",
+                  flush=True)
+        return self
+
+    # -------------------------------------------------------------- accessors
+    def total_mass(self, ):
+        return self._reductions()[0]

@@ -162,6 +162,14 @@ class SmrHydro:
                 u0[lev] = self._update_level(u0[lev], u1[lev], flux[lev],
                                              lev, tab["gam0"][s],
                                              tab["gam1"][s], beta_dt)
+                if cfg.fluid == GLMMHD:
+                    # Dedner psi damping, level-scaled mindx (the uniform
+                    # path's glmmhd source; hydro_pkg.py:239-270)
+                    from ..core.indices import IPS
+                    mindx = min(self.smesh.dx(lev))
+                    coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt
+                                    / mindx)
+                    u0[lev] = u0[lev].at[:, IPS].multiply(coeff)
             u0 = self.state_mgr.fill_ghosts(u0)
         return u0
 

@@ -330,8 +330,16 @@ class _RestartOutput:
             self.next_time += self.dt
 
 
-def run_from_file(path: str, overrides=None, quiet=False) -> Simulation:
+def run_from_file(path: str, overrides=None, quiet=False):
     pin = ParameterInput.from_file(path, overrides)
+    mode = pin.get_or_add_string("parthenon/mesh", "refinement", "none")
+    if mode in ("static", "adaptive"):
+        from .amr.driver import SmrSimulation
+        return SmrSimulation(pin, quiet=quiet).run()
+    if mode != "none":
+        raise ValueError(
+            f"<parthenon/mesh> refinement = '{mode}' — expected "
+            "'none', 'static', or 'adaptive'")
     return Simulation(pin, quiet=quiet).run()
 
 

@@ -104,3 +104,21 @@ def test_amr_blob_tracking():
             for lev, u in state.items()}
     assert best[drv.smesh.max_level] == max(best.values())
     assert all(bool(jnp.isfinite(u).all()) for u in state.values())
+
+
+def test_deck_driven_smr_simulation(tmp_path, monkeypatch):
+    """End-to-end: refinement=static deck through run_from_file."""
+    monkeypatch.chdir(tmp_path)
+    from athenapk_tpu.driver import run_from_file
+    sim = run_from_file(
+        "/root/repo/inputs/blast_3d_smr.in",
+        overrides=["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=32",
+                   "parthenon/mesh/nx3=32", "parthenon/meshblock/nx1=8",
+                   "parthenon/meshblock/nx2=8", "parthenon/meshblock/nx3=8",
+                   "parthenon/time/nlim=4"], quiet=True)
+    assert sim.ncycle == 4
+    assert {k: v.size for k, v in sim.smesh.level_ids.items()} == \
+        {0: 56, 1: 64}
+    hst = np.loadtxt(tmp_path / "blast.out0.hst")
+    mass0 = hst[2] if hst.ndim == 1 else hst[0, 2]
+    assert abs(sim.total_mass() - mass0) / mass0 < 1e-12
