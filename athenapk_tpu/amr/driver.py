@@ -105,6 +105,10 @@ class SmrSimulation:
         self.tlim = pin.get_real(t, "tlim")
         self.nlim = pin.get_or_add_integer(t, "nlim", -1)
         self.ncycle_out = pin.get_or_add_integer(t, "ncycle_out", 1)
+        # reference semantics (inputs/cloud.in:46): print the mesh
+        # structure every |N| cycles; negative also prints on refinement
+        self.ncycle_out_mesh = pin.get_or_add_integer(t, "ncycle_out_mesh",
+                                                      0)
         self.t = 0.0
         self.ncycle = 0
 
@@ -168,10 +172,21 @@ class SmrSimulation:
         t0 = time.time()
         zone_cycles = 0
         self._write_hst(0.0)
+        def print_mesh():
+            sm = self._smesh_now()
+            zpb = zones_per_block
+            parts = [f"level {lev}: {ids.size} blocks "
+                     f"({ids.size * zpb} zones)"
+                     for lev, ids in sorted(sm.level_ids.items())]
+            print(f"mesh structure (cycle {self.ncycle}): "
+                  + "; ".join(parts), flush=True)
+
         while self.t < self.tlim and (self.nlim < 0
                                       or self.ncycle < self.nlim):
             if self.adaptive:
-                self.state, _ = self.driver.maybe_remesh(self.state)
+                self.state, changed = self.driver.maybe_remesh(self.state)
+                if changed and self.ncycle_out_mesh < 0 and not self.quiet:
+                    print_mesh()
             st = self._stepper_now()
             dt = float(st.estimate_dt(self.state))
             dt = min(dt, self.tlim - self.t)
@@ -186,6 +201,9 @@ class SmrSimulation:
                 nlv = {lev: v.shape[0] for lev, v in self.state.items()}
                 print(f"cycle={self.ncycle} time={self.t:.8e} "
                       f"dt={dt:.8e} blocks={nlv}", flush=True)
+            if not self.quiet and self.ncycle_out_mesh != 0 \
+                    and self.ncycle % abs(self.ncycle_out_mesh) == 0:
+                print_mesh()
             self._write_hst(dt)
         wall = time.time() - t0
         if not self.quiet and zone_cycles:

@@ -276,22 +276,32 @@ class HydroPackage:
 
         Matches the per-stage task chain in ``MakeTaskCollection``
         (``src/hydro/hydro_driver.cpp:499-577``)."""
-        fluxes = self._compute_fluxes(prim, c_h, recon)
+        # named scopes mirror the reference's named Kokkos kernels
+        # ("x1 flux" etc., hydro.cpp:1071) so jax.profiler traces
+        # attribute time per phase (SURVEY §5 tracing)
+        with jax.named_scope("calculate_fluxes"):
+            fluxes = self._compute_fluxes(prim, c_h, recon)
         if self.cfg.first_order_flux_correct:
-            fluxes = self._first_order_flux_correct(
-                u0, u1, prim, fluxes, gam0, gam1, beta_dt, c_h)
-        div = self._flux_divergence(fluxes)
-        u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
+            with jax.named_scope("first_order_flux_correct"):
+                fluxes = self._first_order_flux_correct(
+                    u0, u1, prim, fluxes, gam0, gam1, beta_dt, c_h)
+        with jax.named_scope("flux_divergence_update"):
+            div = self._flux_divergence(fluxes)
+            u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
         # restore ghost entries of u0 (the divergence is garbage there;
         # boundary fill below overwrites them from valid interiors)
         if self.cfg.fluid == GLMMHD:
-            u_new = self._dedner_source(u_new, prim, beta_dt, c_h)
+            with jax.named_scope("dedner_source"):
+                u_new = self._dedner_source(u_new, prim, beta_dt, c_h)
         if self.cooling is not None:
-            u_new = self.cooling.apply(u_new, beta_dt, self.cfg.fluid)
+            with jax.named_scope("tabular_cooling"):
+                u_new = self.cooling.apply(u_new, beta_dt, self.cfg.fluid)
         if self.problem_source_unsplit is not None:
-            u_new = self.problem_source_unsplit(u_new, prim, self.mesh,
-                                                beta_dt, t)
-        u_new = self.apply_boundaries(u_new)
+            with jax.named_scope("problem_source"):
+                u_new = self.problem_source_unsplit(u_new, prim, self.mesh,
+                                                    beta_dt, t)
+        with jax.named_scope("boundary_fill"):
+            u_new = self.apply_boundaries(u_new)
         return u_new
 
     def _step(self, u, dt, c_h, t=0.0):
