@@ -159,9 +159,55 @@ class SmrState:
         self.nvar = nvar
         b = smesh.base
         self.block_shape = b.block_shape
+        if b.nghost > min(b.mbnx1, b.mbnx2, b.mbnx3) // 2:
+            raise ValueError("SMR requires nghost <= meshblock/2 (the "
+                             "restricted fine slab must cover the ghosts)")
         # plans[level] = list of fill ops; built lazily below
         self._plans = {lev: self._build_plan(lev)
                        for lev in smesh.level_ids}
+        self._batch = self._build_batches()
+
+    def _build_batches(self):
+        """Group plan ops into batched gathers: one (gather, set) per
+        (level, face[, octant]) instead of per block — shrinks the op
+        graph (and jit compile time) by ~nblocks."""
+        loc_of = {}
+        for lev, ids in self.smesh.level_ids.items():
+            for li, gid in enumerate(ids):
+                loc_of[gid] = (lev, li)
+        batch = {}
+        for lev, plan in self._plans.items():
+            same = {f: ([], []) for f in range(6)}
+            coarse = {}
+            fine = {f: ([], []) for f in range(6)}
+            for (li, face, kind, payload) in plan:
+                if kind == "same":
+                    slev, sli = loc_of[payload]
+                    same[face][0].append(li)
+                    same[face][1].append(sli)
+                elif kind == "coarse":
+                    cgid, octant = payload
+                    _, cli = loc_of[cgid]
+                    d, s = coarse.setdefault((face, octant), ([], []))
+                    d.append(li)
+                    s.append(cli)
+                else:  # fine
+                    kids = sorted(payload)  # by octant 0..7
+                    fine[face][0].append(li)
+                    fine[face][1].append([loc_of[kid][1]
+                                          for (_, kid) in kids])
+            batch[lev] = {
+                "same": {f: (np.asarray(d, np.int32),
+                             np.asarray(s, np.int32))
+                         for f, (d, s) in same.items() if d},
+                "coarse": {k: (np.asarray(d, np.int32),
+                               np.asarray(s, np.int32))
+                           for k, (d, s) in coarse.items()},
+                "fine": {f: (np.asarray(d, np.int32),
+                             np.asarray(s, np.int32))
+                         for f, (d, s) in fine.items() if d},
+            }
+        return batch
 
     # ---------------------------------------------------------------- plans
     def _build_plan(self, lev):
@@ -191,18 +237,25 @@ class SmrState:
                     octant = (na & 1) | ((nb_ & 1) << 1) | ((nc & 1) << 2)
                     ops.append((loc_i, face, "coarse", (coarse, octant)))
                     continue
-                # fine neighbors: the 4 children of the neighbor location
-                # touching my face
+                # fine neighbors: only the 4 children of the neighbor
+                # location TOUCHING my face must be leaves at lev+1 (the
+                # far-side children may themselves be refined deeper —
+                # legal under 2:1 balance, which constrains only
+                # face-adjacent leaves)
                 fa, fb, fc = 2 * na, 2 * nb_, 2 * nc
+                bit = face // 2          # octant bit along the face axis
+                want = 1 if face % 2 == 0 else 0
                 kids = []
                 for oc in range(8):
+                    if (oc >> bit) & 1 != want:
+                        continue
                     ka = fa + (oc & 1)
                     kb = fb + ((oc >> 1) & 1)
                     kc = fc + ((oc >> 2) & 1)
                     kid = sm.find(lev + 1, ka, kb, kc)
                     if kid >= 0:
                         kids.append((oc, kid))
-                if len(kids) == 8:
+                if len(kids) == 4:
                     ops.append((loc_i, face, "fine", kids))
                 else:
                     raise RuntimeError(
@@ -246,61 +299,66 @@ class SmrState:
             sl[axis] = slice(n, n + g) if lo else slice(g, 2 * g)
             return tuple(sl)
 
-        loc_of = {}
-        for lev, ids in sm.level_ids.items():
-            for li, gid in enumerate(ids):
-                loc_of[gid] = (lev, li)
+        hx, hy, hz = nx // 2, ny // 2, nz // 2
 
-        kinds_order = ("fine", "same", "coarse")
-        for kind_pass in kinds_order:
+        # batched passes: one gather+scatter per (level, face[, octant])
+        for kind_pass in ("fine", "same", "coarse"):
             for lev in sorted(sm.level_ids):
                 u = out[lev]
-                for (li, face, kind, payload) in self._plans[lev]:
-                    if kind != kind_pass:
-                        continue
-                    gsl, axis, lo = ghost_slab(face)
-                    if kind == "same":
-                        slev, sli = loc_of[payload]
-                        u = u.at[(li,) + gsl].set(
-                            out[slev][sli][src_slab(axis, lo)])
-                    elif kind == "coarse":
-                        coarse_gid, octant = payload
-                        clev, cli = loc_of[coarse_gid]
-                        cu = out[clev][cli]
+                groups = self._batch[lev][kind_pass]
+                if kind_pass == "same":
+                    for face, (d, s) in groups.items():
+                        gsl, axis, lo = ghost_slab(face)
+                        src = out[lev][s][(slice(None),)
+                                          + src_slab(axis, lo)]
+                        u = u.at[(d,) + gsl].set(src)
+                elif kind_pass == "coarse":
+                    for (face, octant), (d, s) in groups.items():
+                        gsl, axis, lo = ghost_slab(face)
                         ox, oy, oz = (octant & 1, (octant >> 1) & 1,
                                       (octant >> 2) & 1)
-                        hx, hy, hz = nx // 2, ny // 2, nz // 2
-                        reg = cu[:,
+                        cu = out[lev - 1][s]
+                        reg = cu[:, :,
                                  g + oz * hz - 1:g + (oz + 1) * hz + 1,
                                  g + oy * hy - 1:g + (oy + 1) * hy + 1,
                                  g + ox * hx - 1:g + (ox + 1) * hx + 1]
                         fine = prolongate_minmod(reg, dims=3)
                         # fine covers virtual neighbor cells [-2, n+2)
-                        sel = [slice(None), slice(2, nz + 2),
-                               slice(2, ny + 2), slice(2, nx + 2)]
+                        sel = [slice(None), slice(None),
+                               slice(2, nz + 2), slice(2, ny + 2),
+                               slice(2, nx + 2)]
                         n = n_of_axis[axis]
-                        sel[axis] = (slice(n - g + 2, n + 2) if lo
-                                     else slice(2, 2 + g))
-                        u = u.at[(li,) + gsl].set(fine[tuple(sel)])
-                    elif kind == "fine":
-                        agg = jnp.zeros((self.nvar, nz, ny, nx),
+                        sel[axis - 4] = (slice(n - g + 2, n + 2) if lo
+                                         else slice(2, 2 + g))
+                        u = u.at[(d,) + gsl].set(fine[tuple(sel)])
+                else:  # fine (4 face-touching kids per op)
+                    for face, (d, kidmat) in groups.items():
+                        gsl, axis, lo = ghost_slab(face)
+                        nops = kidmat.shape[0]
+                        bit = face // 2
+                        want = 1 if face % 2 == 0 else 0
+                        ocs = [oc for oc in range(8)
+                               if (oc >> bit) & 1 == want]
+                        ku = out[lev + 1][kidmat.reshape(-1)]
+                        rest = restrict_average(
+                            ku[:, :, g:g + nz, g:g + ny, g:g + nx],
+                            dims=3).reshape(nops, len(ocs), self.nvar,
+                                            hz, hy, hx)
+                        agg = jnp.zeros((nops, self.nvar, nz, ny, nx),
                                         dtype=u.dtype)
-                        for (oc, kid) in payload:
-                            klev, kli = loc_of[kid]
-                            ku = out[klev][kli]
-                            rest = restrict_average(
-                                ku[:, g:g + nz, g:g + ny, g:g + nx],
-                                dims=3)
+                        for idx, oc in enumerate(ocs):
                             ox, oy, oz = (oc & 1, (oc >> 1) & 1,
                                           (oc >> 2) & 1)
-                            agg = agg.at[
-                                :, oz * nz // 2:(oz + 1) * nz // 2,
-                                oy * ny // 2:(oy + 1) * ny // 2,
-                                ox * nx // 2:(ox + 1) * nx // 2].set(rest)
-                        vsl = [slice(None), slice(0, nz), slice(0, ny),
-                               slice(0, nx)]
+                            agg = agg.at[:, :,
+                                         oz * hz:(oz + 1) * hz,
+                                         oy * hy:(oy + 1) * hy,
+                                         ox * hx:(ox + 1) * hx].set(
+                                rest[:, idx])
+                        vsl = [slice(None), slice(None), slice(0, nz),
+                               slice(0, ny), slice(0, nx)]
                         n = n_of_axis[axis]
-                        vsl[axis] = slice(n - g, n) if lo else slice(0, g)
-                        u = u.at[(li,) + gsl].set(agg[tuple(vsl)])
+                        vsl[axis - 4] = (slice(n - g, n) if lo
+                                         else slice(0, g))
+                        u = u.at[(d,) + gsl].set(agg[tuple(vsl)])
                 out[lev] = u
         return out

@@ -168,3 +168,24 @@ level = 1
                 nghost=2)
     sm = SmrMesh(base, regions)
     assert sm.level_ids[1].size == 64
+
+
+def test_three_level_nested():
+    """Nested static regions (levels 1+2): a level-0 block's coarse
+    neighbor may have far-side children refined deeper — only the 4
+    face-touching children are required leaves (2:1 balance constrains
+    faces, not whole octets)."""
+    base = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=3)
+    sm = SmrMesh(base, [(0.25, 0.75, 0.25, 0.75, 0.25, 0.75, 1),
+                        (0.4, 0.6, 0.4, 0.6, 0.4, 0.6, 2)])
+    assert sm.max_level == 2
+    assert sum(ids.size for ids in sm.level_ids.values()) > 64
+    st = SmrState(sm, 1)
+    # uniform field survives the three-kind fill exactly
+    state = {lev: jnp.full((ids.size, 1) + base.block_shape, 3.5)
+             for lev, ids in sm.level_ids.items()}
+    filled = st.fill_ghosts(state)
+    for v in filled.values():
+        np.testing.assert_array_equal(np.asarray(v), 3.5)
