@@ -39,7 +39,7 @@ def run_bench(n: int, mb: int, ncycles: int = 10, warmup: int = 2,
 
     # transverse sizes: nearest multiple of 32 to n/2
     ny = max(32, (n // 2 // 32) * 32)
-    mby = 32
+    mby = int(os.environ.get("BENCH_MBY", "32"))
     deck = f"""
 <job>
 problem_id = linear_wave_mhd
