@@ -91,7 +91,10 @@ class SmrSimulation:
 
         if self.adaptive:
             rcfg = RefinementConfig.from_parameter_input(pin)
-            self.driver = AmrHydro(self.smesh, self.cfg, self.eos, rcfg)
+            self.driver = AmrHydro(
+                self.smesh, self.cfg, self.eos, rcfg,
+                derefine_count=pin.get_or_add_integer(
+                    "parthenon/mesh", "derefine_count", 10))
         else:
             self.driver = None
             self.stepper = SmrHydro(self.smesh, self.cfg, self.eos)

@@ -134,12 +134,17 @@ class AmrHydro:
     """
 
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
-                 check_interval=1):
+                 check_interval=1, derefine_count=10):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
         self.refine_cfg = refine_cfg
         self.check_interval = max(1, int(check_interval))
+        # a leaf must request derefinement this many CONSECUTIVE checks
+        # before it may merge (Parthenon's derefine_count; damps
+        # refine/derefine flapping at marginal criteria)
+        self.derefine_count = max(1, int(derefine_count))
+        self._deref_counts = {}
         self._steppers = {}
         self._stepper = self._get_stepper()
 
@@ -175,6 +180,20 @@ class AmrHydro:
     def maybe_remesh(self, state):
         """Retag + remesh if any change; -> (state, changed?)."""
         tags = self.compute_tags(state)
+        # apply derefinement counters (keyed by leaf location so they
+        # survive remeshes of other blocks)
+        sm = self.smesh
+        new_counts = {}
+        for i in range(tags.size):
+            if tags[i] >= 0:
+                continue
+            key = (int(sm.levels[i]), int(sm.lx1[i]), int(sm.lx2[i]),
+                   int(sm.lx3[i]))
+            c = self._deref_counts.get(key, 0) + 1
+            new_counts[key] = c
+            if c < self.derefine_count:
+                tags[i] = 0
+        self._deref_counts = new_counts
         if not tags.any():
             return state, False
         old_leaves = self.smesh.levels.size

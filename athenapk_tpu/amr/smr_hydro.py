@@ -38,12 +38,27 @@ class SmrHydro:
         mask[IDN] = True
         mask[IPR] = True
         self._positivity_mask = jnp.asarray(mask)
-        # flux-correction site list: (level, local idx, face, fine kids)
-        self._fc_sites = []
+        # flux-correction batches: one restricted write per (level, face)
+        # group of coarse-fine sites (payload = the 4 face-touching fine
+        # kids, octant-sorted, from the ghost-fill plans)
+        import numpy as np
+        loc_of = {}
+        for lev, ids in smesh.level_ids.items():
+            for li, gid in enumerate(ids):
+                loc_of[gid] = (lev, li)
+        fc = {}
         for lev in smesh.level_ids:
             for (li, face, kind, payload) in self.state_mgr._plans[lev]:
-                if kind == "fine":
-                    self._fc_sites.append((lev, li, face, payload))
+                if kind != "fine":
+                    continue
+                kids = sorted(payload)
+                d_list, k_list, ocs = fc.setdefault(
+                    (lev, face), ([], [], [oc for (oc, _) in kids]))
+                d_list.append(li)
+                k_list.append([loc_of[kid][1] for (_, kid) in kids])
+        self._fc_batch = {
+            key: (np.asarray(d, np.int32), np.asarray(k, np.int32), ocs)
+            for key, (d, k, ocs) in fc.items()}
         self.step = jax.jit(self._step)
 
     # ----------------------------------------------------------------- core
@@ -63,68 +78,48 @@ class SmrHydro:
 
     def _flux_correct(self, fluxes):
         """Replace coarse fluxes at coarse-fine faces with the 2x2
-        transverse average of the matching fine face fluxes."""
-        sm = self.smesh
-        b = sm.base
+        transverse average of the matching fine face fluxes — batched:
+        one gather + restricted write per (level, face) group."""
+        b = self.smesh.base
         g = b.nghost
         nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
-        loc_of = {}
-        for lev, ids in sm.level_ids.items():
-            for li, gid in enumerate(ids):
-                loc_of[gid] = (lev, li)
+        nsz = {1: nx, 2: ny, 3: nz}
 
-        for (lev, li, face, kids) in self._fc_sites:
+        for (lev, face), (d_arr, kidmat, ocs) in self._fc_batch.items():
             axis = 3 - face // 2            # 3=x, 2=y, 1=z (no var axis)
             d = {3: 1, 2: 2, 1: 3}[axis]
             lo = face % 2 == 0
-            n = {1: nx, 2: ny, 3: nz}[d]
-            # coarse face index (co-indexed i = face i-1/2)
+            n = nsz[d]
+            # coarse face index (co-indexed i = face i-1/2); fine face on
+            # the kids' matching boundary
             cface = g if lo else g + n
-            # fine blocks on the matching side: octant bit along d equals
-            # (1 if my face is low else 0)
-            want = 1 if lo else 0
-            bit = {1: 0, 2: 1, 3: 2}[d]
-            sel_kids = [(oc, kid) for (oc, kid) in kids
-                        if (oc >> bit) & 1 == want]
-            # fine face index on their boundary
             fface = g + n if lo else g
-            # assemble restricted transverse flux [nvar, tA, tB]
-            # transverse dims (in z,y,x order minus the normal one)
-            tdims = [t for t in (1, 2, 3) if t != d]  # e.g. x-face: (y,z)?
-            # build coarse-face transverse array by quadrant
-            Fc = None
-            for (oc, kid) in sel_kids:
-                klev, kli = loc_of[kid]
-                Ff = fluxes[klev][d][kli]
-                idx = [slice(None)] * 4
-                idx[4 + _AXIS_OF_DIR[d]] = fface
-                idx_interior = list(idx)
-                for t in tdims:
-                    nt = {1: nx, 2: ny, 3: nz}[t]
-                    idx_interior[4 + _AXIS_OF_DIR[t]] = slice(g, g + nt)
-                fine_face = Ff[tuple(idx_interior)]  # [nvar, tB, tA]
-                # 2x2 transverse restriction
-                rest = 0.25 * (fine_face[:, 0::2, 0::2]
-                               + fine_face[:, 1::2, 0::2]
-                               + fine_face[:, 0::2, 1::2]
-                               + fine_face[:, 1::2, 1::2])
-                if Fc is None:
-                    t_shapes = [({1: nx, 2: ny, 3: nz}[t]) for t in
-                                sorted(tdims, reverse=True)]
-                    Fc = jnp.zeros((rest.shape[0],) + tuple(t_shapes),
-                                   dtype=rest.dtype)
-                # quadrant position from the remaining octant bits
-                offs = []
-                for t in sorted(tdims, reverse=True):  # z-ish first
-                    tb = {1: 0, 2: 1, 3: 2}[t]
-                    nt = {1: nx, 2: ny, 3: nz}[t]
-                    offs.append(((oc >> tb) & 1) * (nt // 2))
-                Fc = Fc.at[:, offs[0]:offs[0] + rest.shape[1],
-                           offs[1]:offs[1] + rest.shape[2]].set(rest)
-            # write into the coarse flux array
+            tdims = [t for t in (1, 2, 3) if t != d]
+            nops = kidmat.shape[0]
+            Ff = fluxes[lev + 1][d][kidmat.reshape(-1)]
+            idx = [slice(None)] * 5
+            idx[5 + _AXIS_OF_DIR[d]] = fface
+            for t in tdims:
+                idx[5 + _AXIS_OF_DIR[t]] = slice(g, g + nsz[t])
+            fine_face = Ff[tuple(idx)]      # [nops*4, nvar, tB, tA]
+            rest = 0.25 * (fine_face[..., 0::2, 0::2]
+                           + fine_face[..., 1::2, 0::2]
+                           + fine_face[..., 0::2, 1::2]
+                           + fine_face[..., 1::2, 1::2])
+            rest = rest.reshape((nops, len(ocs)) + rest.shape[1:])
+            t_shapes = [nsz[t] for t in sorted(tdims, reverse=True)]
+            Fc = jnp.zeros((nops, rest.shape[2]) + tuple(t_shapes),
+                           dtype=rest.dtype)
+            for col, oc in enumerate(ocs):
+                # quadrant position from the transverse octant bits
+                offs = [((oc >> {1: 0, 2: 1, 3: 2}[t]) & 1) * (nsz[t] // 2)
+                        for t in sorted(tdims, reverse=True)]
+                Fc = Fc.at[:, :, offs[0]:offs[0] + rest.shape[3],
+                           offs[1]:offs[1] + rest.shape[4]].set(
+                    rest[:, col])
             F = fluxes[lev][d]
-            widx = [li, slice(None), slice(g, g + nz), slice(g, g + ny),
-                    slice(g, g + nx)]
+            widx = [d_arr, slice(None), slice(g, g + nz),
+                    slice(g, g + ny), slice(g, g + nx)]
             widx[5 + _AXIS_OF_DIR[d]] = cface
             fluxes[lev] = dict(fluxes[lev])
             fluxes[lev][d] = F.at[tuple(widx)].set(Fc)
