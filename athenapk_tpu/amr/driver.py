@@ -115,19 +115,31 @@ class SmrSimulation:
         self.t = 0.0
         self.ncycle = 0
 
-        # history output (sum-over-levels reductions)
+        # outputs: hst (sum-over-levels reductions) + mixed-level hdf5
         self.hst_path = None
         self.hst_dt = -1.0
         self._hst_next = 0.0
+        self._hdf5_outs = []   # [(oid, dt, variables, single_prec, next, n)]
         for blk in pin.output_blocks():
-            if pin.get_string(blk, "file_type") == "hst":
-                oid = pin.get_or_add_string(blk, "id",
-                                            blk.rsplit("output", 1)[-1])
+            ftype = pin.get_string(blk, "file_type")
+            oid = pin.get_or_add_string(blk, "id",
+                                        blk.rsplit("output", 1)[-1])
+            if ftype == "hst":
                 self.hst_path = f"{self.problem_id}.out{oid}.hst"
                 self.hst_dt = pin.get_or_add_real(blk, "dt", -1.0)
                 with open(self.hst_path, "w") as fh:
                     fh.write("# [1]=time [2]=dt [3]=mass [4]=KE "
                              "[5]=total_E\n")
+            elif ftype == "hdf5":
+                self._hdf5_outs.append({
+                    "id": oid,
+                    "dt": pin.get_or_add_real(blk, "dt", -1.0),
+                    "variables": pin.get_or_add_string(blk, "variables",
+                                                       "cons"),
+                    "sp": pin.get_or_add_bool(blk,
+                                              "single_precision_output",
+                                              False),
+                    "next": 0.0, "count": 0})
 
     # ---------------------------------------------------------------- helpers
     def _stepper_now(self):
@@ -161,6 +173,34 @@ class SmrSimulation:
             fh.write(f"{self.t:.14e} {dt:.14e} {mass:.14e} "
                      f"{ke:.14e} {etot:.14e}\n")
 
+    def _write_hdf5(self, dt, force=False):
+        if not self._hdf5_outs:
+            return
+        from ..eos.adiabatic import cons_to_prim
+        from ..outputs.hdf5 import write_phdf_smr
+        sm = self._smesh_now()
+        for out in self._hdf5_outs:
+            if not force and out["dt"] > 0.0 and self.t < out["next"]:
+                continue
+            out["next"] = self.t + out["dt"]
+            want_prim = "prim" in out["variables"]
+            want_cons = "cons" in out["variables"] or not want_prim
+            prims = None
+            if want_prim:
+                prims = {}
+                for lev, u in self.state.items():
+                    _, w = cons_to_prim(self.eos, u, self.cfg.fluid,
+                                        self.cfg.nscalars)
+                    prims[lev] = w
+            fname = (f"{self.problem_id}.out{out['id']}."
+                     f"{out['count']:05d}.phdf")
+            out["count"] += 1
+            write_phdf_smr(fname, sm, self.cfg.fluid, self.t, dt,
+                           self.ncycle,
+                           state=self.state if want_cons else None,
+                           prim_state=prims,
+                           single_precision=out["sp"])
+
     def _c_h(self, dt):
         if self.cfg.fluid != "glmmhd":
             return 0.0
@@ -175,6 +215,7 @@ class SmrSimulation:
         t0 = time.time()
         zone_cycles = 0
         self._write_hst(0.0)
+        self._write_hdf5(0.0)
         def print_mesh():
             sm = self._smesh_now()
             zpb = zones_per_block
@@ -208,10 +249,12 @@ class SmrSimulation:
                     and self.ncycle % abs(self.ncycle_out_mesh) == 0:
                 print_mesh()
             self._write_hst(dt)
+            self._write_hdf5(dt)
         wall = time.time() - t0
         if not self.quiet and zone_cycles:
             print(f"zone-cycles/wallsecond = {zone_cycles / wall:.6e}",
                   flush=True)
+        self._write_hdf5(0.0, force=True)
         return self
 
     # -------------------------------------------------------------- accessors

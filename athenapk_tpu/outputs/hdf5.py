@@ -177,3 +177,133 @@ class PhdfData:
 
 def read_phdf(filename) -> PhdfData:
     return PhdfData(filename)
+
+
+def write_phdf_smr(filename: str, smesh, fluid: str, t, dt, ncycle,
+                   state=None, prim_state=None,
+                   single_precision: bool = False,
+                   extra_params: Optional[dict] = None,
+                   write_xdmf: bool = True):
+    """Refined-mesh dump: every leaf is a block with its own coordinates
+    and level (Parthenon's mixed-level .phdf layout — blocks carry
+    per-block Locations plus /Levels and /LogicalLocations).
+
+    ``state``/``prim_state``: {level: [nb, nvar, NZ, NY, NX]} batched
+    leaf arrays (ghost-inclusive); written in global leaf-id order.
+    """
+    import h5py
+
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    b = smesh.base
+    g = b.nghost
+    nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+    nleaves = int(smesh.levels.size)
+    out_dtype = np.float32 if single_precision else np.float64
+
+    def gather(st):
+        nvar = next(iter(st.values())).shape[1]
+        data = np.empty((nleaves, nvar, nz, ny, nx), out_dtype)
+        for lev, ids in smesh.level_ids.items():
+            arr = np.asarray(st[lev])[:, :, g:g + nz, g:g + ny, g:g + nx]
+            data[ids] = arr.astype(out_dtype)
+        return data
+
+    with h5py.File(filename, "w") as fh:
+        info = fh.create_group("Info")
+        info.attrs["Time"] = float(t)
+        info.attrs["dt"] = float(dt)
+        info.attrs["NCycle"] = int(ncycle)
+        info.attrs["NumMeshBlocks"] = nleaves
+        info.attrs["MeshBlockSize"] = np.asarray([nx, ny, nz])
+        info.attrs["RootGridSize"] = np.asarray([b.nx1, b.nx2, b.nx3])
+        info.attrs["RootGridDomain"] = np.asarray(
+            [b.x1min, b.x1max, b.x2min, b.x2max, b.x3min, b.x3max])
+        info.attrs["NGhost"] = b.nghost
+        info.attrs["Coordinates"] = "UniformCartesian"
+        info.attrs["MaxLevel"] = int(smesh.max_level)
+        if extra_params:
+            par = fh.create_group("Params")
+            for k, v in extra_params.items():
+                par.attrs[k] = v
+
+        fh.create_dataset("Levels", data=np.asarray(smesh.levels,
+                                                    np.int32))
+        fh.create_dataset("LogicalLocations", data=np.stack(
+            [smesh.lx1, smesh.lx2, smesh.lx3], axis=1).astype(np.int64))
+
+        x = np.empty((nleaves, nx))
+        y = np.empty((nleaves, ny))
+        z = np.empty((nleaves, nz))
+        for gid in range(nleaves):
+            xs, ys, zs = smesh.cell_centers_leaf(gid)
+            x[gid] = xs.ravel()[g:g + nx]
+            y[gid] = ys.ravel()[g:g + ny]
+            z[gid] = zs.ravel()[g:g + nz]
+        loc = fh.create_group("Locations")
+        loc.create_dataset("x", data=x)
+        loc.create_dataset("y", data=y)
+        loc.create_dataset("z", data=z)
+
+        for name, st, labels in (("cons", state, _CONS_NAMES),
+                                 ("prim", prim_state, _PRIM_NAMES)):
+            if st is None:
+                continue
+            data = gather(st)
+            fh.create_dataset(name, data=data)
+            base = labels[fluid]
+            nscal = data.shape[1] - len(base)
+            names = base + [f"scalar{i}" for i in range(nscal)]
+            fh.create_dataset(
+                f"VarNames_{name}",
+                data=np.array([s.encode() for s in names]))
+    if write_xdmf:
+        _write_xdmf_smr(filename, smesh, fluid, t, state is not None,
+                        prim_state is not None)
+
+
+def _write_xdmf_smr(h5name: str, smesh, fluid: str, t, has_cons,
+                    has_prim):
+    """XDMF sidecar for mixed-level dumps: per-block origin + level dx."""
+    base = os.path.basename(h5name)
+    b = smesh.base
+    nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+    nleaves = int(smesh.levels.size)
+    lines = ['<?xml version="1.0" ?>',
+             '<Xdmf Version="3.0">', '<Domain>',
+             '<Grid Name="mesh" GridType="Collection" '
+             'CollectionType="Spatial">',
+             f'<Time Value="{float(t)}"/>']
+    for gid in range(nleaves):
+        lev = int(smesh.levels[gid])
+        d1, d2, d3 = smesh.dx(lev)
+        x0, y0, z0 = smesh.block_origin(gid)
+        lines += [
+            f'<Grid Name="block{gid}" GridType="Uniform">',
+            f'<Topology TopologyType="3DCoRectMesh" '
+            f'Dimensions="{nz + 1} {ny + 1} {nx + 1}"/>',
+            '<Geometry GeometryType="ORIGIN_DXDYDZ">',
+            f'<DataItem Dimensions="3" Format="XML">'
+            f'{z0} {y0} {x0}</DataItem>',
+            f'<DataItem Dimensions="3" Format="XML">'
+            f'{d3} {d2} {d1}</DataItem>',
+            '</Geometry>']
+        for kind, present in (("cons", has_cons), ("prim", has_prim)):
+            if not present:
+                continue
+            labels = (_CONS_NAMES if kind == "cons" else _PRIM_NAMES)[fluid]
+            for vi, lab in enumerate(labels):
+                lines += [
+                    f'<Attribute Name="{lab}" Center="Cell">',
+                    f'<DataItem ItemType="HyperSlab" '
+                    f'Dimensions="1 1 {nz} {ny} {nx}" Type="HyperSlab">',
+                    f'<DataItem Dimensions="3 5" Format="XML">'
+                    f'{gid} {vi} 0 0 0  1 1 1 1 1  1 1 {nz} {ny} {nx}'
+                    f'</DataItem>',
+                    f'<DataItem Format="HDF" Dimensions='
+                    f'"{nleaves} {len(labels)} {nz} {ny} {nx}">'
+                    f'{base}:/{kind}</DataItem>',
+                    '</DataItem>', '</Attribute>']
+        lines.append('</Grid>')
+    lines += ['</Grid>', '</Domain>', '</Xdmf>']
+    with open(h5name + ".xdmf", "w") as fh:
+        fh.write("\n".join(lines))

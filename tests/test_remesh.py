@@ -115,6 +115,9 @@ def test_deck_driven_smr_simulation(tmp_path, monkeypatch):
         overrides=["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=32",
                    "parthenon/mesh/nx3=32", "parthenon/meshblock/nx1=8",
                    "parthenon/meshblock/nx2=8", "parthenon/meshblock/nx3=8",
+                   "parthenon/output1/file_type=hdf5",
+                   "parthenon/output1/variables=prim",
+                   "parthenon/output1/dt=-1.0",
                    "parthenon/time/nlim=4"], quiet=True)
     assert sim.ncycle == 4
     assert {k: v.size for k, v in sim.smesh.level_ids.items()} == \
@@ -122,3 +125,13 @@ def test_deck_driven_smr_simulation(tmp_path, monkeypatch):
     hst = np.loadtxt(tmp_path / "blast.out0.hst")
     mass0 = hst[2] if hst.ndim == 1 else hst[0, 2]
     assert abs(sim.total_mass() - mass0) / mass0 < 1e-12
+    # mixed-level hdf5 dump: per-block coords at level spacing
+    import h5py
+    with h5py.File(tmp_path / "blast.out1.00000.phdf") as f:
+        lv = f["Levels"][:]
+        assert list(np.bincount(lv)) == [56, 64]
+        x = f["Locations/x"][:]
+        dxc = x[np.where(lv == 0)[0][0]]
+        dxf = x[np.where(lv == 1)[0][0]]
+        assert np.isclose(dxc[1] - dxc[0], 2 * (dxf[1] - dxf[0]))
+        assert np.isfinite(f["prim"][:]).all()
