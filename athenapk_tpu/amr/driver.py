@@ -14,7 +14,7 @@ deck.  This is the analog of the reference calling ``ProblemGenerator``
 per MeshBlock at any refinement level.
 
 Round-1 scope: 3D periodic hyperbolic problems (euler / glmmhd without
-diffusion/cooling); history output only.
+diffusion/cooling); history + mixed-level hdf5 outputs.
 """
 
 from __future__ import annotations
