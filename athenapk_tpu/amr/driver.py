@@ -66,7 +66,8 @@ def init_state_from_pgen(smesh: SmrMesh, pgen, pin, cfg, eos):
 class SmrSimulation:
     """Time loop on a static or adaptive refined mesh."""
 
-    def __init__(self, pin: ParameterInput, quiet: bool = False):
+    def __init__(self, pin: ParameterInput, quiet: bool = False,
+                 restart=None):
         self.pin = pin
         self.quiet = quiet
         self.problem_id = pin.get_string("job", "problem_id")
@@ -80,7 +81,14 @@ class SmrSimulation:
         numlevel = pin.get_or_add_integer("parthenon/mesh", "numlevel", 1)
         max_level = max(numlevel - 1,
                         max((r[-1] for r in regions), default=0))
-        self.smesh = SmrMesh(base, regions, max_level=max_level)
+        self.is_restart = restart is not None
+        if self.is_restart:
+            ll = restart["logical_locations"]
+            self.smesh = SmrMesh.from_leaf_table(
+                base, restart["levels"], ll[:, 0], ll[:, 1], ll[:, 2],
+                max_level=max_level)
+        else:
+            self.smesh = SmrMesh(base, regions, max_level=max_level)
 
         self.cfg = HydroConfig.from_parameter_input(pin)
         self.eos = EOS.from_parameter_input(pin)
@@ -99,10 +107,17 @@ class SmrSimulation:
             self.driver = None
             self.stepper = SmrHydro(self.smesh, self.cfg, self.eos)
 
-        self.state = init_state_from_pgen(self.smesh, self.pgen, pin,
-                                          self.cfg, self.eos)
-        self.state = SmrState(self.smesh, self.cfg.nvar).fill_ghosts(
-            self.state)
+        if self.is_restart:
+            # ghost-inclusive saved state: bit-exact resume, no refill
+            self.state = {int(lev): jnp.asarray(v)
+                          for lev, v in restart["state"].items()}
+            if self.adaptive and "deref_counts" in restart:
+                self.driver._deref_counts = dict(restart["deref_counts"])
+        else:
+            self.state = init_state_from_pgen(self.smesh, self.pgen, pin,
+                                              self.cfg, self.eos)
+            self.state = SmrState(self.smesh, self.cfg.nvar).fill_ghosts(
+                self.state)
 
         t = "parthenon/time"
         self.tlim = pin.get_real(t, "tlim")
@@ -112,14 +127,15 @@ class SmrSimulation:
         # structure every |N| cycles; negative also prints on refinement
         self.ncycle_out_mesh = pin.get_or_add_integer(t, "ncycle_out_mesh",
                                                       0)
-        self.t = 0.0
-        self.ncycle = 0
+        self.t = restart["t"] if self.is_restart else 0.0
+        self.ncycle = restart["ncycle"] if self.is_restart else 0
 
         # outputs: hst (sum-over-levels reductions) + mixed-level hdf5
         self.hst_path = None
         self.hst_dt = -1.0
         self._hst_next = 0.0
         self._hdf5_outs = []   # [(oid, dt, variables, single_prec, next, n)]
+        self._rst_outs = []
         for blk in pin.output_blocks():
             ftype = pin.get_string(blk, "file_type")
             oid = pin.get_or_add_string(blk, "id",
@@ -127,9 +143,10 @@ class SmrSimulation:
             if ftype == "hst":
                 self.hst_path = f"{self.problem_id}.out{oid}.hst"
                 self.hst_dt = pin.get_or_add_real(blk, "dt", -1.0)
-                with open(self.hst_path, "w") as fh:
-                    fh.write("# [1]=time [2]=dt [3]=mass [4]=KE "
-                             "[5]=total_E\n")
+                if not self.is_restart:
+                    with open(self.hst_path, "w") as fh:
+                        fh.write("# [1]=time [2]=dt [3]=mass [4]=KE "
+                                 "[5]=total_E\n")
             elif ftype == "hdf5":
                 self._hdf5_outs.append({
                     "id": oid,
@@ -140,6 +157,18 @@ class SmrSimulation:
                                               "single_precision_output",
                                               False),
                     "next": 0.0, "count": 0})
+            elif ftype == "rst":
+                self._rst_outs.append({
+                    "id": oid,
+                    "dt": pin.get_or_add_real(blk, "dt", -1.0),
+                    "next": 0.0, "count": 0})
+        if self.is_restart and restart.get("triggers") is not None:
+            trig = restart["triggers"]
+            for out, (nt, cnt) in zip(self._hdf5_outs + self._rst_outs,
+                                      trig[:-1]):
+                out["next"] = float(nt)
+                out["count"] = int(cnt)
+            self._hst_next = float(trig[-1][0])
 
     # ---------------------------------------------------------------- helpers
     def _stepper_now(self):
@@ -172,6 +201,19 @@ class SmrSimulation:
         with open(self.hst_path, "a") as fh:
             fh.write(f"{self.t:.14e} {dt:.14e} {mass:.14e} "
                      f"{ke:.14e} {etot:.14e}\n")
+
+    def _write_rst(self, force=False):
+        if not self._rst_outs:
+            return
+        from ..outputs.restart import write_restart_smr
+        for out in self._rst_outs:
+            if not force and (out["dt"] < 0.0 or self.t < out["next"]):
+                continue
+            write_restart_smr(
+                f"{self.problem_id}.out_{out['id']}."
+                f"{out['count']:05d}.rhdf", self)
+            out["count"] += 1
+            out["next"] = self.t + max(out["dt"], 0.0)
 
     def _write_hdf5(self, dt, force=False):
         if not self._hdf5_outs:
@@ -250,11 +292,13 @@ class SmrSimulation:
                 print_mesh()
             self._write_hst(dt)
             self._write_hdf5(dt)
+            self._write_rst()
         wall = time.time() - t0
         if not self.quiet and zone_cycles:
             print(f"zone-cycles/wallsecond = {zone_cycles / wall:.6e}",
                   flush=True)
         self._write_hdf5(0.0, force=True)
+        self._write_rst(force=True)
         return self
 
     # -------------------------------------------------------------- accessors

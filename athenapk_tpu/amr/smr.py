@@ -106,6 +106,40 @@ class SmrMesh:
                             zip(self.levels, self.lx1, self.lx2, self.lx3))}
 
     @classmethod
+    def from_leaf_table(cls, base: Mesh, levels, lx1, lx2, lx3,
+                        max_level=None):
+        """Rebuild a mesh matching a saved leaf table (restart path):
+        replay refine-only tags on a fresh forest until the leaf set
+        matches.  Any 2:1-balanced leaf set is reachable this way."""
+        levels = np.asarray(levels)
+        if max_level is None:
+            max_level = int(levels.max())
+        forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
+                           max_level=max_level)
+        target = {(int(l), int(a), int(b), int(c))
+                  for l, a, b, c in zip(levels, lx1, lx2, lx3)}
+        for _ in range(max_level + 1):
+            cur_lev, ca, cb, cc = forest.leaves()
+            tags = np.zeros(forest.num_leaves, np.int32)
+            for i in range(forest.num_leaves):
+                key = (int(cur_lev[i]), int(ca[i]), int(cb[i]),
+                       int(cc[i]))
+                if key not in target:
+                    tags[i] = 1   # some target leaf is deeper here
+            if not tags.any():
+                break
+            forest.update(tags)
+        sm = cls.__new__(cls)
+        sm.base = base
+        sm._adopt_forest(forest)
+        got = {(int(l), int(a), int(b), int(c)) for l, a, b, c in
+               zip(sm.levels, sm.lx1, sm.lx2, sm.lx3)}
+        if got != target:
+            raise ValueError("leaf table replay failed (table not "
+                             "2:1-balanced or level out of range)")
+        return sm
+
+    @classmethod
     def from_forest(cls, base: Mesh, forest):
         """Wrap an existing (already refined/updated) forest — the dynamic
         AMR path, where ``forest.update`` has just been applied."""

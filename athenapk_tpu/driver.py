@@ -343,11 +343,14 @@ def run_from_file(path: str, overrides=None, quiet=False):
     return Simulation(pin, quiet=quiet).run()
 
 
-def run_from_restart(path: str, overrides=None, quiet=False) -> Simulation:
+def run_from_restart(path: str, overrides=None, quiet=False):
     from .outputs.restart import read_restart
     pin, payload = read_restart(path)
     if overrides:
         pin.apply_overrides(overrides)
+    if "levels" in payload:   # refined-mesh checkpoint
+        from .amr.driver import SmrSimulation
+        return SmrSimulation(pin, quiet=quiet, restart=payload).run()
     return Simulation(pin, quiet=quiet, restart=payload).run()
 
 

@@ -57,6 +57,8 @@ def read_restart(fname):
 
     with h5py.File(fname, "r") as fh:
         pin = ParameterInput.from_string(fh["Input"][()].decode())
+        if fh["Info"].attrs.get("Refined", 0):
+            return pin, read_restart_smr_payload(fh)
         payload = dict(
             t=float(fh["Info"].attrs["Time"]),
             ncycle=int(fh["Info"].attrs["NCycle"]),
@@ -74,3 +76,52 @@ def read_restart(fname):
                 g["var_hat_r"][()] + 1j * g["var_hat_i"][()],
                 json.loads(g.attrs["rng_state"]))
     return pin, payload
+
+
+def write_restart_smr(fname, sim):
+    """Refined-mesh checkpoint: leaf table + per-level ghost-inclusive
+    state (bit-exact) + derefinement counters + output trigger state."""
+    import h5py
+
+    os.makedirs(os.path.dirname(fname) or ".", exist_ok=True)
+    sm = sim._smesh_now()
+    with h5py.File(fname, "w") as fh:
+        info = fh.create_group("Info")
+        info.attrs["Time"] = float(sim.t)
+        info.attrs["NCycle"] = int(sim.ncycle)
+        info.attrs["dt"] = 0.0
+        info.attrs["OutputFormatVersion"] = 1
+        info.attrs["Refined"] = 1
+        fh.create_dataset("Input", data=sim.pin.to_string().encode())
+        fh.create_dataset("Levels", data=np.asarray(sm.levels, np.int32))
+        fh.create_dataset("LogicalLocations", data=np.stack(
+            [sm.lx1, sm.lx2, sm.lx3], axis=1).astype(np.int64))
+        for lev, u in sim.state.items():
+            fh.create_dataset(f"cons_lev{lev}", data=np.asarray(u))
+        if sim.adaptive:
+            counts = {json.dumps(k): v for k, v in
+                      sim.driver._deref_counts.items()}
+            fh.create_dataset("DerefCounts",
+                              data=json.dumps(counts).encode())
+        trig = [(o["next"], o["count"]) for o in sim._hdf5_outs]
+        trig.append((sim._hst_next, 0))
+        fh.create_dataset("OutputTriggers", data=np.asarray(trig))
+
+
+def read_restart_smr_payload(fh):
+    """Payload dict from an open refined-mesh restart file."""
+    payload = dict(
+        t=float(fh["Info"].attrs["Time"]),
+        ncycle=int(fh["Info"].attrs["NCycle"]),
+        levels=fh["Levels"][()],
+        logical_locations=fh["LogicalLocations"][()],
+        state={int(k.split("cons_lev")[1]): fh[k][()]
+               for k in fh if k.startswith("cons_lev")},
+        triggers=fh["OutputTriggers"][()]
+        if "OutputTriggers" in fh else None,
+    )
+    if "DerefCounts" in fh:
+        raw = json.loads(fh["DerefCounts"][()].decode())
+        payload["deref_counts"] = {tuple(json.loads(k)): v
+                                   for k, v in raw.items()}
+    return payload

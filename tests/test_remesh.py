@@ -135,3 +135,30 @@ def test_deck_driven_smr_simulation(tmp_path, monkeypatch):
         dxf = x[np.where(lv == 1)[0][0]]
         assert np.isclose(dxc[1] - dxc[0], 2 * (dxf[1] - dxf[0]))
         assert np.isfinite(f["prim"][:]).all()
+
+
+def test_smr_restart_bitwise(tmp_path, monkeypatch):
+    """Refined-mesh checkpoint/resume is bitwise identical to an
+    uninterrupted run (the reference's AMR restart guarantee)."""
+    monkeypatch.chdir(tmp_path)
+    from athenapk_tpu.driver import run_from_file, run_from_restart
+    base_ovr = ["parthenon/mesh/nx1=32", "parthenon/mesh/nx2=32",
+                "parthenon/mesh/nx3=32", "parthenon/meshblock/nx1=8",
+                "parthenon/meshblock/nx2=8", "parthenon/meshblock/nx3=8",
+                "parthenon/output1/file_type=rst",
+                "parthenon/output1/dt=-1.0"]
+    simA = run_from_file("/root/repo/inputs/blast_3d_smr.in",
+                         overrides=base_ovr + ["parthenon/time/nlim=4"],
+                         quiet=True)
+    refA = {k: np.array(v) for k, v in simA.state.items()}
+
+    simB = run_from_file("/root/repo/inputs/blast_3d_smr.in",
+                         overrides=base_ovr + ["parthenon/time/nlim=2"],
+                         quiet=True)
+    assert (tmp_path / "blast.out_1.00000.rhdf").exists()
+    simC = run_from_restart(str(tmp_path / "blast.out_1.00000.rhdf"),
+                            overrides=["parthenon/time/nlim=4"],
+                            quiet=True)
+    assert simC.ncycle == 4 and simC.is_restart
+    for k in refA:
+        np.testing.assert_array_equal(np.asarray(simC.state[k]), refA[k])
