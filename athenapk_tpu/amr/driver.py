@@ -14,7 +14,8 @@ deck.  This is the analog of the reference calling ``ProblemGenerator``
 per MeshBlock at any refinement level.
 
 Round-1 scope: 3D periodic hyperbolic problems (euler / glmmhd without
-diffusion/cooling); history + mixed-level hdf5 outputs.
+diffusion/cooling); history, mixed-level hdf5, and bitwise restart
+outputs.
 """
 
 from __future__ import annotations
