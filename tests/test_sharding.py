@@ -74,3 +74,60 @@ def test_gspmd_step_matches_single_device():
                    out_shardings=bsh)
     got = np.asarray(step(u_sh, dt, c_h))
     np.testing.assert_allclose(ref, got, rtol=1e-13, atol=1e-13)
+
+
+def test_sharded_smr_step():
+    """Refined-mesh stepping under GSPMD: the per-level block axis is
+    sharded over the device mesh; ghost-fill and flux-correction
+    gathers lower to collectives (SURVEY §2c ghost exchange row:
+    'coarse-fine = gather+prolong' under sharding).  Result must match
+    the single-device step bitwise."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import (Mesh as JMesh, NamedSharding,
+                              PartitionSpec as P)
+    from athenapk_tpu.amr import SmrMesh
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig
+
+    base = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=3)
+    sm = SmrMesh(base, [(0.4, 0.6, 0.4, 0.6, 0.4, 0.6, 1)])
+    # both levels' block counts (56, 64) divide the 8-device mesh
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="plm", integrator="rk2")
+    eos = EOS(gamma=5.0 / 3.0)
+    sh = SmrHydro(sm, cfg, eos)
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        w = np.zeros((len(ids), 5) + base.block_shape)
+        for li, gid in enumerate(ids):
+            x, y, z = sm.cell_centers_leaf(gid)
+            r2 = (x - 0.3) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+            w[li, 0] = 1.0 + np.broadcast_to(np.exp(-r2 / 0.01),
+                                             base.block_shape)
+            w[li, 1] = 1.0
+            w[li, 4] = 1.0
+        state[lev] = jnp.asarray(np.asarray(
+            prim_to_cons(eos, jnp.asarray(w), "euler")))
+    state = sh.state_mgr.fill_ghosts(state)
+    dt = float(sh.estimate_dt(state))
+
+    ref = dict(state)
+    for _ in range(2):
+        ref = sh.step(ref, dt, jnp.asarray(0.0))
+
+    jm = JMesh(np.array(jax.devices()), ("blocks",))
+    shd = NamedSharding(jm, P("blocks"))
+    out = {k: jax.device_put(v, shd) for k, v in state.items()}
+    step_sharded = jax.jit(sh._step)
+    for _ in range(2):
+        out = step_sharded(out, jnp.asarray(dt), jnp.asarray(0.0))
+    for k in out:
+        assert out[k].sharding.spec == P("blocks")
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]))
