@@ -98,15 +98,32 @@ class SmrSimulation:
         if hook is not None:
             hook(pin)
 
+        # tabular cooling (pointwise source; mirrors the uniform driver)
+        cooling = None
+        if pin.get_or_add_string("cooling", "enable_cooling", "none") \
+                == "tabular":
+            from ..srcterms.tabular_cooling import TabularCooling
+            from ..utils.units import Units, mean_molecular_weights
+            units = Units(pin)
+            mu, _ = mean_molecular_weights(
+                pin.get_real("hydro", "He_mass_fraction"))
+            mbar_over_kb = mu * units.mh() / units.k_boltzmann()
+            cooling = TabularCooling(
+                pin, units, pin.get_real("hydro", "gamma"), mu,
+                pin.get_real("hydro", "He_mass_fraction"), mbar_over_kb)
+        self.cooling = cooling
+
         if self.adaptive:
             rcfg = RefinementConfig.from_parameter_input(pin)
             self.driver = AmrHydro(
                 self.smesh, self.cfg, self.eos, rcfg,
                 derefine_count=pin.get_or_add_integer(
-                    "parthenon/mesh", "derefine_count", 10))
+                    "parthenon/mesh", "derefine_count", 10),
+                cooling=cooling)
         else:
             self.driver = None
-            self.stepper = SmrHydro(self.smesh, self.cfg, self.eos)
+            self.stepper = SmrHydro(self.smesh, self.cfg, self.eos,
+                                    cooling=cooling)
 
         if self.is_restart:
             # ghost-inclusive saved state: bit-exact resume, no refill

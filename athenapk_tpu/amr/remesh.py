@@ -134,10 +134,11 @@ class AmrHydro:
     """
 
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
-                 check_interval=1, derefine_count=10):
+                 check_interval=1, derefine_count=10, cooling=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
+        self.cooling = cooling
         self.refine_cfg = refine_cfg
         self.check_interval = max(1, int(check_interval))
         # a leaf must request derefinement this many CONSECUTIVE checks
@@ -159,7 +160,8 @@ class AmrHydro:
         sig = self._signature()
         st = self._steppers.get(sig)
         if st is None:
-            st = SmrHydro(self.smesh, self.cfg, self.eos)
+            st = SmrHydro(self.smesh, self.cfg, self.eos,
+                          cooling=self.cooling)
             self._steppers[sig] = st
         return st
 

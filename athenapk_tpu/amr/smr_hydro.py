@@ -9,8 +9,9 @@ face fluxes, making the scheme conservative across level boundaries.
 Same global dt on all levels (the Parthenon default); ghost fill via
 ``SmrState.fill_ghosts`` (restrict -> same -> prolong).
 
-Round-1 scope: euler/glmmhd hyperbolic core (no diffusion/cooling/source
-hooks yet), periodic domains; marked experimental.
+Round-1 scope: euler/glmmhd hyperbolic core + pointwise tabular cooling
+(diffusion and coordinate-dependent sources land round 2), periodic
+domains.
 """
 
 from __future__ import annotations
@@ -29,10 +30,11 @@ _AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
 
 
 class SmrHydro:
-    def __init__(self, smesh: SmrMesh, cfg, eos):
+    def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
+        self.cooling = cooling   # pointwise unsplit source (per stage)
         self.state_mgr = SmrState(smesh, cfg.nvar)
         mask = [False] * cfg.nvar
         mask[IDN] = True
@@ -65,6 +67,9 @@ class SmrHydro:
     def _fluxes_level(self, prim, lev, c_h, recon):
         dx = self.smesh.dx(lev)
         out = {}
+        if self.cfg.riemann == "none":
+            # null solver (source-only runs; hydro_pkg.py:154-157)
+            return {d: jnp.zeros_like(prim) for d in (1, 2, 3)}
         for d in (1, 2, 3):
             axis = _AXIS_OF_DIR[d]
             qm, qp = reconstruct(recon, prim, axis, dx[d - 1],
@@ -165,6 +170,11 @@ class SmrHydro:
                     coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt
                                     / mindx)
                     u0[lev] = u0[lev].at[:, IPS].multiply(coeff)
+                if self.cooling is not None:
+                    # pointwise unsplit cooling per stage (the uniform
+                    # path's ordering; hydro_pkg.py:296-298)
+                    u0[lev] = self.cooling.apply(u0[lev], beta_dt,
+                                                 cfg.fluid)
             u0 = self.state_mgr.fill_ghosts(u0)
         return u0
 

@@ -162,3 +162,76 @@ def test_smr_restart_bitwise(tmp_path, monkeypatch):
     assert simC.ncycle == 4 and simC.is_restart
     for k in refA:
         np.testing.assert_array_equal(np.asarray(simC.state[k]), refA[k])
+
+
+def test_smr_cooling_matches_exact(tmp_path):
+    """Pointwise tabular cooling on a two-level mesh: uniform hot gas
+    cools identically on both levels and tracks the exact ODE
+    (Townsend integrator, same protocol as test_cooling)."""
+    import math
+    from scipy.integrate import solve_ivp
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.amr.smr import SmrState
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.srcterms.tabular_cooling import TabularCooling
+    from athenapk_tpu.utils.units import Units, mean_molecular_weights
+    from athenapk_tpu.eos.adiabatic import EOS
+
+    GAMMA, HE_X, RHO = 5.0 / 3.0, 0.25, 1e-24
+    MH = 1.007947 * 1.660538921e-24
+    table = tmp_path / "powerlaw.cool"
+    logT = np.linspace(4.0, 8.0, 41)
+    logL = math.log10(1e-23) + 0.5 * (logT - 6.0)
+    with open(table, "w") as fh:
+        fh.write("# logT logLambda\n")
+        for a, b in zip(logT, logL):
+            fh.write(f"{a} {b}\n")
+    deck = f"""
+<units>
+code_length_cgs = 1.0
+code_mass_cgs = 1.0
+code_time_cgs = 1.0
+
+<cooling>
+enable_cooling = tabular
+table_filename = {table}
+lambda_units_cgs = 1.0
+integrator = townsend
+cfl = -1.0
+"""
+    pin = ParameterInput.from_string(deck)
+    units = Units(pin)
+    mu, _ = mean_molecular_weights(HE_X)
+    mbar_over_kb = mu * units.mh() / units.k_boltzmann()
+    cooling = TabularCooling(pin, units, GAMMA, mu, HE_X, mbar_over_kb)
+
+    base = Mesh(nx1=16, nx2=16, nx3=16, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2)
+    sm = SmrMesh(base, [(0.5, 1.0, 0.5, 1.0, 0.5, 1.0, 1)])
+    cfg = HydroConfig(fluid="euler", riemann="none",
+                      reconstruction="dc", integrator="rk1")
+    eos = EOS(gamma=GAMMA)
+    sh = SmrHydro(sm, cfg, eos, cooling=cooling)
+    e0 = 1e6 / (mbar_over_kb * (GAMMA - 1.0))
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        u = np.zeros((len(ids), 5) + base.block_shape)
+        u[:, 0] = RHO
+        u[:, 4] = RHO * e0
+        state[lev] = jnp.asarray(u)
+    t_end = 3.0e13
+    state = sh.step(state, jnp.asarray(t_end), jnp.asarray(0.0))
+
+    def dedt(t, y):
+        T = mbar_over_kb * (GAMMA - 1.0) * y
+        lam = 1e-23 * (T / 1e6) ** 0.5
+        return -lam * ((1.0 - HE_X) / MH) ** 2 * RHO
+
+    e_exact = solve_ivp(dedt, (0.0, t_end), [e0],
+                        rtol=1e-12, atol=1e-6).y[0, -1]
+    g = base.nghost
+    for lev, u in state.items():
+        e_sim = np.asarray(u[:, 4, g:-g, g:-g, g:-g]) / RHO
+        assert abs(e_sim.mean() - e_exact) / e_exact < 1e-8, lev
+        assert e_sim.std() < 1e-8 * e0
