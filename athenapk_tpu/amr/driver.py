@@ -98,20 +98,26 @@ class SmrSimulation:
         if hook is not None:
             hook(pin)
 
-        # tabular cooling (pointwise source; mirrors the uniform driver)
+        # diffusion + tabular cooling (mirrors the uniform driver)
+        from ..diffusion import DiffusionConfig
+        from ..utils.units import Units, mean_molecular_weights
+        _units = Units(pin) if pin.has_block("units") else None
+        _mu = None
+        if pin.has("hydro", "He_mass_fraction") and _units is not None:
+            _mu, _ = mean_molecular_weights(
+                pin.get_real("hydro", "He_mass_fraction"))
+        diffusion = DiffusionConfig.from_parameter_input(
+            pin, units=_units, mu=_mu)
         cooling = None
         if pin.get_or_add_string("cooling", "enable_cooling", "none") \
                 == "tabular":
             from ..srcterms.tabular_cooling import TabularCooling
-            from ..utils.units import Units, mean_molecular_weights
-            units = Units(pin)
-            mu, _ = mean_molecular_weights(
-                pin.get_real("hydro", "He_mass_fraction"))
-            mbar_over_kb = mu * units.mh() / units.k_boltzmann()
+            mbar_over_kb = _mu * _units.mh() / _units.k_boltzmann()
             cooling = TabularCooling(
-                pin, units, pin.get_real("hydro", "gamma"), mu,
+                pin, _units, pin.get_real("hydro", "gamma"), _mu,
                 pin.get_real("hydro", "He_mass_fraction"), mbar_over_kb)
         self.cooling = cooling
+        self.diffusion = diffusion
 
         if self.adaptive:
             rcfg = RefinementConfig.from_parameter_input(pin)
@@ -119,11 +125,11 @@ class SmrSimulation:
                 self.smesh, self.cfg, self.eos, rcfg,
                 derefine_count=pin.get_or_add_integer(
                     "parthenon/mesh", "derefine_count", 10),
-                cooling=cooling)
+                cooling=cooling, diffusion=diffusion)
         else:
             self.driver = None
             self.stepper = SmrHydro(self.smesh, self.cfg, self.eos,
-                                    cooling=cooling)
+                                    cooling=cooling, diffusion=diffusion)
 
         if self.is_restart:
             # ghost-inclusive saved state: bit-exact resume, no refill

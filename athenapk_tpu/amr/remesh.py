@@ -134,11 +134,13 @@ class AmrHydro:
     """
 
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
-                 check_interval=1, derefine_count=10, cooling=None):
+                 check_interval=1, derefine_count=10, cooling=None,
+                 diffusion=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
         self.cooling = cooling
+        self.diffusion = diffusion
         self.refine_cfg = refine_cfg
         self.check_interval = max(1, int(check_interval))
         # a leaf must request derefinement this many CONSECUTIVE checks
@@ -161,7 +163,8 @@ class AmrHydro:
         st = self._steppers.get(sig)
         if st is None:
             st = SmrHydro(self.smesh, self.cfg, self.eos,
-                          cooling=self.cooling)
+                          cooling=self.cooling,
+                          diffusion=self.diffusion)
             self._steppers[sig] = st
         return st
 

@@ -395,4 +395,140 @@ class SmrState:
                                          else slice(0, g))
                         u = u.at[(d,) + gsl].set(agg[tuple(vsl)])
                 out[lev] = u
+        return self._fill_corners(out)
+
+    # ----------------------------------------------------- edge/corner fill
+    def _fill_corners(self, out):
+        """Round 2 after the face fill: extend each face fill
+        transversally so edge/corner ghost cells hold valid data.
+
+        Per level ascending: (a) prolongation redo with both transverse
+        selections widened by g (the coarse level below is already
+        fully corner-filled), (b) restriction redo widened by g//2 in
+        one transverse dim at a time (reading the kids' round-1 face
+        ghosts), (c) same-level directional sweep (y-faces carry the
+        x-ghost columns, z-faces carry x+y) propagating everything.
+
+        Same/prolongation-sourced corners are exact; fine-restricted
+        edges are valid to transverse depth g//2 and triple corners
+        over fine regions stay stale — the diffusion cross-stencils
+        read at most (face-normal, one-transverse) depth-1 cells, which
+        this covers.
+        """
+        sm = self.smesh
+        b = sm.base
+        g = b.nghost
+        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+        n_of_axis = {3: nx, 2: ny, 1: nz}
+        hx, hy, hz = nx // 2, ny // 2, nz // 2
+        half_of = {3: hx, 2: hy, 1: hz}
+        R = 2
+        fr = g // 2
+        if g > 2 * R:
+            raise ValueError("SMR corner fill supports nghost <= 4")
+
+        def strip(axis, lo):
+            n = n_of_axis[axis]
+            return slice(0, g) if lo else slice(g + n, 2 * g + n)
+
+        for lev in sorted(sm.level_ids):
+            u = out[lev]
+            # ---- (a) prolongation redo: both transverse dims widened
+            for (face, octant), (d, s) in self._batch[lev]["coarse"].items():
+                axis = 3 - face // 2
+                lo = face % 2 == 0
+                ox, oy, oz = (octant & 1, (octant >> 1) & 1,
+                              (octant >> 2) & 1)
+                cu = out[lev - 1][s]
+                reg = cu[:, :,
+                         g + oz * hz - R:g + (oz + 1) * hz + R,
+                         g + oy * hy - R:g + (oy + 1) * hy + R,
+                         g + ox * hx - R:g + (ox + 1) * hx + R]
+                fine = prolongate_minmod(reg, dims=3)
+                gsl = [slice(None)] * 4
+                sel = [slice(None), slice(None), None, None, None]
+                for ax in (1, 2, 3):
+                    n = n_of_axis[ax]
+                    gsl[ax] = slice(0, 2 * g + n)
+                    sel[ax + 1] = slice(2 * R - g, 2 * R + n + g)
+                n = n_of_axis[axis]
+                gsl[axis] = strip(axis, lo)
+                sel[axis + 1] = (slice(n - g + 2 * R, n + 2 * R) if lo
+                                 else slice(2 * R, 2 * R + g))
+                u = u.at[(d,) + tuple(gsl)].set(fine[tuple(sel)])
+            # ---- (b) restriction redo: one transverse dim at a time
+            for face, (d, kidmat) in self._batch[lev]["fine"].items():
+                axis = 3 - face // 2
+                lo = face % 2 == 0
+                bit = face // 2
+                want = 1 if face % 2 == 0 else 0
+                ocs = [oc for oc in range(8) if (oc >> bit) & 1 == want]
+                nops = kidmat.shape[0]
+                for ext in (t for t in (1, 2, 3) if t != axis):
+                    ksl = [slice(None), slice(None), None, None, None]
+                    half = {}
+                    for ax in (1, 2, 3):
+                        n = n_of_axis[ax]
+                        if ax == ext:
+                            ksl[ax + 1] = slice(g - 2 * fr, g + n + 2 * fr)
+                            half[ax] = n // 2 + 2 * fr
+                        else:
+                            ksl[ax + 1] = slice(g, g + n)
+                            half[ax] = n // 2
+                    ku = out[lev + 1][kidmat.reshape(-1)]
+                    rest = restrict_average(
+                        ku[tuple(ksl)], dims=3).reshape(
+                        (nops, len(ocs), self.nvar,
+                         half[1], half[2], half[3]))
+                    ag_n = {ax: n_of_axis[ax] + (2 * fr if ax == ext
+                                                 else 0)
+                            for ax in (1, 2, 3)}
+                    agg = jnp.zeros((nops, self.nvar, ag_n[1], ag_n[2],
+                                     ag_n[3]), dtype=u.dtype)
+                    for idx, oc in enumerate(ocs):
+                        obit = {3: oc & 1, 2: (oc >> 1) & 1,
+                                1: (oc >> 2) & 1}
+                        psl = [slice(None), slice(None), None, None, None]
+                        for ax in (1, 2, 3):
+                            off = obit[ax] * half_of[ax]
+                            psl[ax + 1] = slice(off, off + half[ax])
+                        agg = agg.at[tuple(psl)].set(rest[:, idx])
+                    gsl = [slice(None)] * 4
+                    vsl = [slice(None), slice(None), None, None, None]
+                    for ax in (1, 2, 3):
+                        n = n_of_axis[ax]
+                        if ax == ext:
+                            gsl[ax] = slice(g - fr, g + n + fr)
+                        else:
+                            gsl[ax] = slice(g, g + n)
+                        vsl[ax + 1] = slice(0, ag_n[ax])
+                    n = n_of_axis[axis]
+                    gsl[axis] = strip(axis, lo)
+                    vsl[axis + 1] = (slice(n - g, n) if lo
+                                     else slice(0, g))
+                    u = u.at[(d,) + tuple(gsl)].set(agg[tuple(vsl)])
+            out[lev] = u
+            # ---- (c) same-level sweep: y carries x-ghosts, z carries x+y
+            for dirpass, ext_axes in ((1, (3,)), (2, (3, 2))):
+                groups = self._batch[lev]["same"]
+                for face in (2 * dirpass, 2 * dirpass + 1):
+                    if face not in groups:
+                        continue
+                    d, s = groups[face]
+                    axis = 3 - face // 2
+                    lo = face % 2 == 0
+                    gsl = [slice(None)] * 4
+                    ssl = [slice(None)] * 4
+                    for ax in (1, 2, 3):
+                        n = n_of_axis[ax]
+                        ext = slice(0, 2 * g + n) if ax in ext_axes \
+                            else slice(g, g + n)
+                        gsl[ax] = ext
+                        ssl[ax] = ext
+                    n = n_of_axis[axis]
+                    gsl[axis] = strip(axis, lo)
+                    ssl[axis] = slice(n, n + g) if lo else slice(g, 2 * g)
+                    src = out[lev][s][(slice(None),) + tuple(ssl)]
+                    u = u.at[(d,) + tuple(gsl)].set(src)
+                    out[lev] = u
         return out

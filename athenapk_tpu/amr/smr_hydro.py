@@ -30,11 +30,28 @@ _AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
 
 
 class SmrHydro:
-    def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None):
+    def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None,
+                 diffusion=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
         self.cooling = cooling   # pointwise unsplit source (per stage)
+        self.diffusion = (diffusion if diffusion is not None
+                          and diffusion.any_enabled else None)
+        if self.diffusion is not None \
+                and self.diffusion.integrator == "rkl2":
+            raise NotImplementedError(
+                "RKL2 super-time-stepping on refined meshes: round 2 "
+                "(use diffusion/integrator = unsplit)")
+        # per-level mesh proxy for the diffusion operators (they read
+        # dx / nx2 / nx3 / interior_slices only)
+        import types
+        b = smesh.base
+        self._level_mesh = {
+            lev: types.SimpleNamespace(
+                dx=smesh.dx(lev), nx2=b.nx2, nx3=b.nx3,
+                interior_slices=b.interior_slices)
+            for lev in smesh.level_ids}
         self.state_mgr = SmrState(smesh, cfg.nvar)
         mask = [False] * cfg.nvar
         mask[IDN] = True
@@ -69,7 +86,8 @@ class SmrHydro:
         out = {}
         if self.cfg.riemann == "none":
             # null solver (source-only runs; hydro_pkg.py:154-157)
-            return {d: jnp.zeros_like(prim) for d in (1, 2, 3)}
+            out = {d: jnp.zeros_like(prim) for d in (1, 2, 3)}
+            return self._add_diff(out, prim, lev)
         for d in (1, 2, 3):
             axis = _AXIS_OF_DIR[d]
             qm, qp = reconstruct(recon, prim, axis, dx[d - 1],
@@ -79,7 +97,19 @@ class SmrHydro:
             out[d] = solve_riemann(self.cfg.riemann, self.cfg.fluid,
                                    self.eos, wl, wr, d, c_h=c_h,
                                    nscalars=self.cfg.nscalars)
-        return out
+        return self._add_diff(out, prim, lev)
+
+    def _add_diff(self, fluxes, prim, lev):
+        """Add diffusive fluxes (level-scaled dx) before flux
+        correction, so coarse-fine conservation covers them too."""
+        if self.diffusion is None:
+            return fluxes
+        from ..diffusion.diffusion import calc_diff_fluxes
+        df = calc_diff_fluxes(self.diffusion, prim,
+                              self._level_mesh[lev])
+        for d, f in df.items():
+            fluxes[d] = fluxes[d] + f
+        return fluxes
 
     def _flux_correct(self, fluxes):
         """Replace coarse fluxes at coarse-fine faces with the 2x2
@@ -203,7 +233,14 @@ class SmrHydro:
             for d in (1, 2, 3):
                 min_dt = jnp.minimum(min_dt, jnp.min(
                     dx[d - 1] / (jnp.abs(wi[:, d]) + lam[d - 1])))
-        return cfg.cfl * min_dt
+        min_dt = cfg.cfl * min_dt
+        if self.diffusion is not None:
+            from ..diffusion.diffusion import estimate_diff_dt
+            for lev, u in state.items():
+                _, w = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+                min_dt = jnp.minimum(min_dt, estimate_diff_dt(
+                    self.diffusion, w, self._level_mesh[lev], cfg.cfl))
+        return min_dt
 
     # ------------------------------------------------------------ reductions
     def total_mass(self, state):

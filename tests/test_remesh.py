@@ -235,3 +235,63 @@ cfl = -1.0
         e_sim = np.asarray(u[:, 4, g:-g, g:-g, g:-g]) / RHO
         assert abs(e_sim.mean() - e_exact) / e_exact < 1e-8, lev
         assert e_sim.std() < 1e-8 * e0
+
+
+def test_smr_conduction_conserves_and_contracts():
+    """Thermal conduction across a two-level mesh: total energy is
+    conserved to rounding through the coarse-fine flux correction, and
+    the temperature field obeys the max principle (extrema contract)."""
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.amr.smr import SmrState
+    from athenapk_tpu.diffusion import DiffusionConfig
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+
+    base = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2)
+    sm = SmrMesh(base, [(0.25, 0.75, 0.25, 0.75, 0.25, 0.75, 1)])
+    dc = DiffusionConfig(conduction="isotropic", conduction_coeff="fixed",
+                         thermal_diff_coeff=0.05, integrator="unsplit")
+    cfg = HydroConfig(fluid="euler", riemann="none",
+                      reconstruction="dc", integrator="rk2")
+    eos = EOS(gamma=5.0 / 3.0)
+    sh = SmrHydro(sm, cfg, eos, diffusion=dc)
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        w = np.zeros((len(ids), 5) + base.block_shape)
+        for li, gid in enumerate(ids):
+            x, y, z = sm.cell_centers_leaf(gid)
+            r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+            w[li, 0] = 1.0
+            w[li, 4] = 1.0 + np.broadcast_to(2.0 * np.exp(-r2 / 0.02),
+                                             base.block_shape)
+        state[lev] = jnp.asarray(np.asarray(
+            prim_to_cons(eos, jnp.asarray(w), "euler")))
+    state = SmrState(sm, 5).fill_ghosts(state)
+    g = base.nghost
+
+    def total_e(st):
+        tot = 0.0
+        for lev, u in st.items():
+            d1, d2, d3 = sm.dx(lev)
+            tot += float(jnp.sum(u[:, 4, g:-g, g:-g, g:-g])) * d1 * d2 * d3
+        return tot
+
+    def extrema(st):
+        pmax = max(float(jnp.max(u[:, 4, g:-g, g:-g, g:-g]))
+                   for u in st.values())
+        pmin = min(float(jnp.min(u[:, 4, g:-g, g:-g, g:-g]))
+                   for u in st.values())
+        return pmin, pmax
+
+    e0 = total_e(state)
+    lo0, hi0 = extrema(state)
+    dt = float(sh.estimate_dt(state))
+    assert dt < 0.3 * (sm.dx(1)[0] ** 2) / 0.05   # parabolic dt binds
+    for _ in range(6):
+        state = sh.step(state, dt, jnp.asarray(0.0))
+    e1 = total_e(state)
+    lo1, hi1 = extrema(state)
+    assert abs(e1 - e0) / e0 < 1e-13
+    assert hi1 < hi0 and lo1 >= lo0 - 1e-12
+    assert all(bool(jnp.isfinite(u).all()) for u in state.values())
