@@ -18,7 +18,6 @@ fluxes (conservation).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..core.amr_forest import AmrForest

@@ -22,7 +22,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.indices import GLMMHD
 from ..core.mesh import Mesh
 
 _CONS_NAMES = {
