@@ -298,10 +298,23 @@ class SmrSimulation:
                 if changed and self.ncycle_out_mesh < 0 and not self.quiet:
                     print_mesh()
             st = self._stepper_now()
-            dt = float(st.estimate_dt(self.state))
-            dt = min(dt, self.tlim - self.t)
-            self.state = st.step(self.state, dt,
-                                 jnp.asarray(self._c_h(dt)))
+            if st.sts:
+                dt_j, dt_diff_j = st.estimate_dt_with_diff(self.state)
+                dt = min(float(dt_j), self.tlim - self.t)
+                dt_diff = float(dt_diff_j)
+                # Strang wrap: half diffusive super-step on each side
+                # of the hyperbolic cycle (hydro_driver.cpp:456-458)
+                self.state = st.sts_half_step(self.state, 0.5 * dt,
+                                              dt_diff)
+                self.state = st.step(self.state, dt,
+                                     jnp.asarray(self._c_h(dt)))
+                self.state = st.sts_half_step(self.state, 0.5 * dt,
+                                              dt_diff)
+            else:
+                dt = float(st.estimate_dt(self.state))
+                dt = min(dt, self.tlim - self.t)
+                self.state = st.step(self.state, dt,
+                                     jnp.asarray(self._c_h(dt)))
             self.t += dt
             self.ncycle += 1
             zone_cycles += zones_per_block * sum(

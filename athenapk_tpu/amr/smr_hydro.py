@@ -40,11 +40,8 @@ class SmrHydro:
         self.cooling = cooling   # pointwise unsplit source (per stage)
         self.diffusion = (diffusion if diffusion is not None
                           and diffusion.any_enabled else None)
-        if self.diffusion is not None \
-                and self.diffusion.integrator == "rkl2":
-            raise NotImplementedError(
-                "RKL2 super-time-stepping on refined meshes: round 2 "
-                "(use diffusion/integrator = unsplit)")
+        self.sts = (self.diffusion is not None
+                    and self.diffusion.integrator == "rkl2")
         # per-level mesh proxy for the diffusion operators (they read
         # dx / nx2 / nx3 / interior_slices only)
         import types
@@ -81,6 +78,9 @@ class SmrHydro:
             key: (np.asarray(d, np.int32), np.asarray(k, np.int32), ocs)
             for key, (d, k, ocs) in fc.items()}
         self.step = jax.jit(self._step)
+        self._rkl2_first = jax.jit(self._rkl2_first_impl,
+                                   static_argnames=("s_rkl",))
+        self._rkl2_other = jax.jit(self._rkl2_other_impl)
 
     # ----------------------------------------------------------------- core
     def _fluxes_level(self, prim, lev, c_h, recon):
@@ -103,8 +103,10 @@ class SmrHydro:
 
     def _add_diff(self, fluxes, prim, lev):
         """Add diffusive fluxes (level-scaled dx) before flux
-        correction, so coarse-fine conservation covers them too."""
-        if self.diffusion is None:
+        correction, so coarse-fine conservation covers them too.
+        RKL2 runs handle diffusion in the Strang-wrapped super-step
+        instead (hydro_pkg.py:169)."""
+        if self.diffusion is None or self.sts:
             return fluxes
         from ..diffusion.diffusion import calc_diff_fluxes
         df = calc_diff_fluxes(self.diffusion, prim,
@@ -112,6 +114,82 @@ class SmrHydro:
         for d, f in df.items():
             fluxes[d] = fluxes[d] + f
         return fluxes
+
+    def _diff_div(self, state):
+        """-div(F_diff) per level from ghost-filled cons (the RKL2
+        operator M), with the diffusive fluxes coarse-fine corrected
+        for conservation (hydro_pkg.py:429-437 uniform analog)."""
+        from ..diffusion.diffusion import calc_diff_fluxes
+        flux = {}
+        for lev, u in state.items():
+            _, prim = cons_to_prim(self.eos, u, self.cfg.fluid,
+                                   self.cfg.nscalars)
+            df = calc_diff_fluxes(self.diffusion, prim,
+                                  self._level_mesh[lev])
+            flux[lev] = {dirn: df.get(dirn, jnp.zeros_like(prim))
+                         for dirn in (1, 2, 3)}
+        flux = self._flux_correct(flux)
+        out = {}
+        for lev in state:
+            dx = self.smesh.dx(lev)
+            div = None
+            for dirn in (1, 2, 3):
+                F = flux[lev][dirn]
+                dF = (jnp.roll(F, -1, axis=_AXIS_OF_DIR[dirn])
+                      - F) / dx[dirn - 1]
+                div = dF if div is None else div + dF
+            out[lev] = -div
+        return out
+
+    def _rkl2_first_impl(self, state, tau, s_rkl):
+        """Y1 = Y0 + mu_tilde_1 tau M(Y0) (RKL2StepFirst analog)."""
+        s = float(s_rkl)
+        mu_tilde_1 = 4.0 / 3.0 / (s * s + s - 2.0)
+        MY0 = self._diff_div(state)
+        Y1 = {lev: state[lev] + mu_tilde_1 * tau * MY0[lev]
+              for lev in state}
+        return self.state_mgr.fill_ghosts(Y1), MY0
+
+    def _rkl2_other_impl(self, Yjm1, Yjm2, Y0, MY0, coeffs, tau):
+        """One RKL2 recursion stage (RKL2StepOther analog)."""
+        mu_j, nu_j, mu_tilde_j, gamma_tilde_j = coeffs
+        MYjm1 = self._diff_div(Yjm1)
+        Yj = {lev: (mu_j * Yjm1[lev] + nu_j * Yjm2[lev]
+                    + (1.0 - mu_j - nu_j) * Y0[lev]
+                    + mu_tilde_j * tau * MYjm1[lev]
+                    + gamma_tilde_j * tau * MY0[lev]) for lev in Y0}
+        return self.state_mgr.fill_ghosts(Yj)
+
+    def sts_half_step(self, state, tau, dt_diff: float):
+        """RKL2 super-time-step over tau on the refined mesh (one half
+        of the Strang wrap; mirrors hydro_pkg.sts_half_step)."""
+        import math as _math
+        s_rkl = int(0.5 * (_math.sqrt(9.0 + 16.0 * tau / dt_diff)
+                           - 1.0)) + 1
+        if s_rkl % 2 == 0:
+            s_rkl += 1
+        tau = jnp.asarray(tau)
+        Y0 = state
+        Yjm1, MY0 = self._rkl2_first(state, tau, s_rkl)
+        Yjm2 = Y0
+        s = float(s_rkl)
+        w1 = 4.0 / (s * s + s - 2.0)
+        b_jm1 = b_jm2 = 1.0 / 3.0
+        for jj in range(2, s_rkl + 1):
+            j = float(jj)
+            b_j = (j * j + j - 2.0) / (2.0 * j * (j + 1.0))
+            mu_j = (2.0 * j - 1.0) / j * b_j / b_jm1
+            nu_j = -(j - 1.0) / j * b_j / b_jm2
+            mu_tilde_j = mu_j * w1
+            gamma_tilde_j = -(1.0 - b_jm1) * mu_tilde_j
+            coeffs = (jnp.asarray(mu_j), jnp.asarray(nu_j),
+                      jnp.asarray(mu_tilde_j), jnp.asarray(gamma_tilde_j))
+            Yj = self._rkl2_other(Yjm1, Yjm2, Y0, MY0, coeffs, tau)
+            Yjm2 = Yjm1
+            Yjm1 = Yj
+            b_jm2 = b_jm1
+            b_jm1 = b_j
+        return Yjm1
 
     def _flux_correct(self, fluxes):
         """Replace coarse fluxes at coarse-fine faces with the 2x2
@@ -235,14 +313,36 @@ class SmrHydro:
             for d in (1, 2, 3):
                 min_dt = jnp.minimum(min_dt, jnp.min(
                     dx[d - 1] / (jnp.abs(wi[:, d]) + lam[d - 1])))
-        min_dt = cfg.cfl * min_dt
-        if self.diffusion is not None:
-            from ..diffusion.diffusion import estimate_diff_dt
-            for lev, u in state.items():
-                _, w = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
-                min_dt = jnp.minimum(min_dt, estimate_diff_dt(
-                    self.diffusion, w, self._level_mesh[lev], cfg.cfl))
-        return min_dt
+        dt_hyp = cfg.cfl * min_dt
+        if self.diffusion is None:
+            return dt_hyp
+        return self.estimate_dt_with_diff(state, dt_hyp=dt_hyp)[0]
+
+    def estimate_dt_with_diff(self, state, dt_hyp=None):
+        """-> (dt, dt_diff) applying the integrator policy: unsplit
+        takes the strict min; rkl2 keeps the hyperbolic dt capped at
+        rkl2_max_dt_ratio * dt_diff (hydro_pkg.py:404-417)."""
+        cfg = self.cfg
+        if dt_hyp is None:
+            saved, self.diffusion = self.diffusion, None
+            try:
+                dt_hyp = self.estimate_dt(state)
+            finally:
+                self.diffusion = saved
+        from ..diffusion.diffusion import estimate_diff_dt
+        dt_diff = jnp.inf
+        for lev, u in state.items():
+            _, w = cons_to_prim(self.eos, u, cfg.fluid, cfg.nscalars)
+            dt_diff = jnp.minimum(dt_diff, estimate_diff_dt(
+                self.diffusion, w, self._level_mesh[lev], cfg.cfl))
+        if self.sts:
+            dt = dt_hyp
+            ratio = self.diffusion.rkl2_max_dt_ratio
+            if ratio > 0.0:
+                dt = jnp.where(dt_hyp / dt_diff > ratio,
+                               ratio * dt_diff, dt)
+            return dt, dt_diff
+        return jnp.minimum(dt_hyp, dt_diff), dt_diff
 
     # ------------------------------------------------------------ reductions
     def total_mass(self, state):

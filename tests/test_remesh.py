@@ -295,3 +295,75 @@ def test_smr_conduction_conserves_and_contracts():
     assert abs(e1 - e0) / e0 < 1e-13
     assert hi1 < hi0 and lo1 >= lo0 - 1e-12
     assert all(bool(jnp.isfinite(u).all()) for u in state.values())
+
+
+def test_smr_rkl2_matches_unsplit():
+    """RKL2 super-time-stepping on the refined mesh: conserves energy
+    through the coarse-fine-corrected diffusive operator and agrees
+    with the unsplit integrator on a smooth conduction problem."""
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.amr.smr import SmrState
+    from athenapk_tpu.diffusion import DiffusionConfig
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+
+    base = Mesh(nx1=16, nx2=16, nx3=16, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2)
+    sm = SmrMesh(base, [(0.5, 1.0, 0.5, 1.0, 0.5, 1.0, 1)])
+    cfg = HydroConfig(fluid="euler", riemann="none",
+                      reconstruction="dc", integrator="rk1")
+    eos = EOS(gamma=5.0 / 3.0)
+
+    def mk_state():
+        state = {}
+        for lev, ids in sm.level_ids.items():
+            w = np.zeros((len(ids), 5) + base.block_shape)
+            for li, gid in enumerate(ids):
+                x, y, z = sm.cell_centers_leaf(gid)
+                w[li, 0] = 1.0
+                w[li, 4] = 1.0 + np.broadcast_to(
+                    0.5 * np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y)
+                    * np.sin(2 * np.pi * z) + 0.6, base.block_shape)
+            state[lev] = jnp.asarray(np.asarray(
+                prim_to_cons(eos, jnp.asarray(w), "euler")))
+        return SmrState(sm, 5).fill_ghosts(state)
+
+    g = base.nghost
+    t_end = 0.02
+    kappa = 0.05
+
+    def total_e(st):
+        tot = 0.0
+        for lev, u in st.items():
+            d1, d2, d3 = sm.dx(lev)
+            tot += float(jnp.sum(u[:, 4, g:-g, g:-g, g:-g])) * d1 * d2 * d3
+        return tot
+
+    results = {}
+    for integ in ("unsplit", "rkl2"):
+        dc = DiffusionConfig(conduction="isotropic",
+                             conduction_coeff="fixed",
+                             thermal_diff_coeff=kappa, integrator=integ)
+        sh = SmrHydro(sm, cfg, eos, diffusion=dc)
+        st = mk_state()
+        e0 = total_e(st)
+        t = 0.0
+        while t < t_end - 1e-12:
+            if integ == "rkl2":
+                dt_j, dt_diff_j = sh.estimate_dt_with_diff(st)
+                dt = min(float(dt_j), t_end - t)
+                st = sh.sts_half_step(st, 0.5 * dt, float(dt_diff_j))
+                st = sh.step(st, dt, jnp.asarray(0.0))
+                st = sh.sts_half_step(st, 0.5 * dt, float(dt_diff_j))
+            else:
+                dt = min(float(sh.estimate_dt(st)), t_end - t)
+                st = sh.step(st, dt, jnp.asarray(0.0))
+            t += dt
+        assert abs(total_e(st) - e0) / e0 < 1e-12, integ
+        results[integ] = {k: np.asarray(v[:, 4, g:-g, g:-g, g:-g])
+                          for k, v in st.items()}
+
+    for k in results["unsplit"]:
+        diff = np.abs(results["rkl2"][k] - results["unsplit"][k]).max()
+        base_mag = np.abs(results["unsplit"][k]).max()
+        assert diff / base_mag < 5e-3, (k, diff)
