@@ -9,11 +9,11 @@ face fluxes, making the scheme conservative across level boundaries.
 Same global dt on all levels (the Parthenon default); ghost fill via
 ``SmrState.fill_ghosts`` (restrict -> same -> prolong).
 
-Round-1 scope: euler/glmmhd hyperbolic core + unsplit diffusion
+Round-1 scope: euler/glmmhd hyperbolic core + diffusion
 (conduction/viscosity/resistivity, level-scaled dx, conservative through
-the flux correction) + pointwise tabular cooling; periodic domains.
-RKL2 super-time-stepping and coordinate-dependent sources on refined
-meshes land round 2.
+the flux correction; unsplit or RKL2 super-time-stepping) + pointwise
+tabular cooling; periodic domains.  Coordinate-dependent sources and
+non-periodic boundaries on refined meshes land round 2.
 """
 
 from __future__ import annotations
