@@ -44,6 +44,11 @@ def smr_regions_from_deck(pin):
     return regions
 
 
+def _periodicity(base: Mesh):
+    return (base.ix1_bc == "periodic", base.ix2_bc == "periodic",
+            base.ix3_bc == "periodic")
+
+
 class SmrMesh:
     """Leaf-block geometry for a static refined mesh.
 
@@ -54,10 +59,6 @@ class SmrMesh:
     def __init__(self, base: Mesh, regions, max_level=None):
         if base.ndim != 3:
             raise NotImplementedError("SMR currently 3D only")
-        for bc in (base.ix1_bc, base.ox1_bc, base.ix2_bc, base.ox2_bc,
-                   base.ix3_bc, base.ox3_bc):
-            if bc != "periodic":
-                raise NotImplementedError("SMR currently periodic only")
         self.base = base
         # max_level: refinement ceiling (the deck's <parthenon/mesh>
         # numlevel - 1); defaults to the deepest static region
@@ -67,7 +68,8 @@ class SmrMesh:
         if max_level < region_max:
             raise ValueError("max_level below deepest static region")
         forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
-                           max_level=max_level)
+                           max_level=max_level,
+                           periodic=_periodicity(base))
         # iteratively refine blocks intersecting each region up to its level
         for _ in range(region_max):
             levels, lx1, lx2, lx3 = forest.leaves()
@@ -114,7 +116,8 @@ class SmrMesh:
         if max_level is None:
             max_level = int(levels.max())
         forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
-                           max_level=max_level)
+                           max_level=max_level,
+                           periodic=_periodicity(base))
         target = {(int(l), int(a), int(b), int(c))
                   for l, a, b, c in zip(levels, lx1, lx2, lx3)}
         for _ in range(max_level + 1):
@@ -157,10 +160,20 @@ class SmrMesh:
         return self._by_loc.get((level, a, b, c), -1)
 
     def wrap(self, level, a, b, c):
-        e1 = self.base.nb1 << level
-        e2 = self.base.nb2 << level
-        e3 = self.base.nb3 << level
-        return (a % e1, b % e2, c % e3)
+        """Wrap a neighbor location periodically; ``None`` when it
+        crosses a non-periodic domain boundary (physical-BC face)."""
+        per = _periodicity(self.base)
+        ext = (self.base.nb1 << level, self.base.nb2 << level,
+               self.base.nb3 << level)
+        out = []
+        for v, e, p in zip((a, b, c), ext, per):
+            if 0 <= v < e:
+                out.append(v)
+            elif p:
+                out.append(v % e)
+            else:
+                return None
+        return tuple(out)
 
     def block_origin(self, leaf_id):
         lev = int(self.levels[leaf_id])
@@ -224,12 +237,18 @@ class SmrState:
                     d, s = coarse.setdefault((face, octant), ([], []))
                     d.append(li)
                     s.append(cli)
-                else:  # fine
+                elif kind == "fine":
                     kids = sorted(payload)  # by octant 0..7
                     fine[face][0].append(li)
                     fine[face][1].append([loc_of[kid][1]
                                           for (_, kid) in kids])
+            phys = {f: [] for f in range(6)}
+            for (li, face, kind, payload) in plan:
+                if kind == "phys":
+                    phys[face].append(li)
             batch[lev] = {
+                "phys": {f: np.asarray(d, np.int32)
+                         for f, d in phys.items() if d},
                 "same": {f: (np.asarray(d, np.int32),
                              np.asarray(s, np.int32))
                          for f, (d, s) in same.items() if d},
@@ -258,7 +277,12 @@ class SmrState:
             for face, (dx, dy, dz) in enumerate(
                     [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
                      (0, 0, -1), (0, 0, 1)]):
-                na, nb_, nc = sm.wrap(lev, a + dx, b_ + dy, c + dz)
+                loc = sm.wrap(lev, a + dx, b_ + dy, c + dz)
+                if loc is None:
+                    # crosses a non-periodic domain boundary
+                    ops.append((loc_i, face, "phys", None))
+                    continue
+                na, nb_, nc = loc
                 same = sm.find(lev, na, nb_, nc)
                 if same >= 0:
                     ops.append((loc_i, face, "same", same))
@@ -394,7 +418,65 @@ class SmrState:
                                          else slice(0, g))
                         u = u.at[(d,) + gsl].set(agg[tuple(vsl)])
                 out[lev] = u
-        return self._fill_corners(out)
+        out = self._apply_phys(out, extended=False)
+        out = self._fill_corners(out)
+        return self._apply_phys(out, extended=True)
+
+    def _apply_phys(self, out, extended):
+        """Physical BCs (outflow / reflecting) on faces that cross a
+        non-periodic domain boundary; mirrors the uniform-path semantics
+        (core/boundaries.py:79-97): outflow broadcasts the edge cell,
+        reflecting mirrors the interior with the normal momentum sign
+        flipped.  ``extended`` includes the transverse ghost columns
+        (round-2 corners) and runs LAST so boundary corners are
+        consistently BC-derived."""
+        sm = self.smesh
+        b = sm.base
+        g = b.nghost
+        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+        n_of_axis = {3: nx, 2: ny, 1: nz}
+        bc_of_face = (b.ix1_bc, b.ox1_bc, b.ix2_bc, b.ox2_bc,
+                      b.ix3_bc, b.ox3_bc)
+        from ..core.indices import IM1, IM2, IM3
+        mom_of_axis = {3: IM1, 2: IM2, 1: IM3}
+        for lev in sm.level_ids:
+            u = out[lev]
+            groups = self._batch[lev].get("phys", {})
+            for face, didx in groups.items():
+                bc = bc_of_face[face]
+                axis = 3 - face // 2
+                lo = face % 2 == 0
+                n = n_of_axis[axis]
+                base_sl = [slice(None)] + [None] * 3
+                for ax in (1, 2, 3):
+                    base_sl[ax] = (slice(None) if extended
+                                   else slice(g, g + n_of_axis[ax]))
+                gsl = list(base_sl)
+                gsl[axis] = slice(0, g) if lo else slice(g + n, 2 * g + n)
+                blocks = u[didx]
+                if bc == "outflow":
+                    esl = list(base_sl)
+                    esl[axis] = (slice(g, g + 1) if lo
+                                 else slice(g + n - 1, g + n))
+                    edge = blocks[(slice(None),) + tuple(esl)]
+                    ghost = jnp.broadcast_to(
+                        edge, blocks[(slice(None),) + tuple(gsl)].shape)
+                elif bc == "reflecting":
+                    msl = list(base_sl)
+                    msl[axis] = slice(g, 2 * g) if lo else slice(n, n + g)
+                    mirror = jnp.flip(
+                        blocks[(slice(None),) + tuple(msl)], axis=axis - 4)
+                    signs = [1.0] * self.nvar
+                    signs[mom_of_axis[axis]] = -1.0
+                    ghost = jnp.asarray(signs, dtype=u.dtype).reshape(
+                        (self.nvar, 1, 1, 1)) * mirror
+                else:
+                    raise ValueError(
+                        f"unsupported refined-mesh BC '{bc}' (periodic/"
+                        "outflow/reflecting)")
+                u = u.at[(didx,) + tuple(gsl)].set(ghost)
+            out[lev] = u
+        return out
 
     # ----------------------------------------------------- edge/corner fill
     def _fill_corners(self, out):

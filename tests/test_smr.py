@@ -247,3 +247,67 @@ def test_smr_glmmhd_step():
     m1 = float(sh.total_mass(s_p))
     assert abs(m1 - m0) / m0 < 1e-13
     assert all(bool(jnp.isfinite(v).all()) for v in s_p.values())
+
+
+def test_smr_nonperiodic_bcs():
+    """Non-periodic refined meshes: reflecting walls conserve mass to
+    rounding; uniform flow-free gas with outflow BCs is exactly
+    invariant (physical-BC faces + BC-derived corners)."""
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+
+    def mk(bc):
+        base = Mesh(nx1=16, nx2=16, nx3=16, mbnx1=8, mbnx2=8, mbnx3=8,
+                    x1min=-0.5, x1max=0.5, x2min=-0.5, x2max=0.5,
+                    x3min=-0.5, x3max=0.5, nghost=3,
+                    ix1_bc=bc, ox1_bc=bc, ix2_bc=bc, ox2_bc=bc,
+                    ix3_bc=bc, ox3_bc=bc)
+        sm = SmrMesh(base, [(-0.25, 0.25, -0.25, 0.25, -0.25, 0.25, 1)])
+        return base, sm
+
+    eos = EOS(gamma=5.0 / 3.0)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="plm", integrator="rk2")
+
+    # reflecting: nothing leaves the box
+    base, sm = mk("reflecting")
+    sh = SmrHydro(sm, cfg, eos)
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        w = np.zeros((len(ids), 5) + base.block_shape)
+        for li, gid in enumerate(ids):
+            x, y, z = sm.cell_centers_leaf(gid)
+            r = np.sqrt(x * x + y * y + z * z)
+            w[li, 0] = 1.0
+            w[li, 4] = np.broadcast_to(np.where(r < 0.12, 20.0, 0.1),
+                                       base.block_shape)
+        state[lev] = jnp.asarray(np.asarray(
+            prim_to_cons(eos, jnp.asarray(w), "euler")))
+    state = sh.state_mgr.fill_ghosts(state)
+    m0 = float(sh.total_mass(state))
+    dt = float(sh.estimate_dt(state))
+    for _ in range(8):
+        state = sh.step(state, dt, jnp.asarray(0.0))
+    assert abs(float(sh.total_mass(state)) - m0) / m0 < 1e-13
+    assert all(bool(jnp.isfinite(v).all()) for v in state.values())
+
+    # outflow: uniform gas exactly invariant
+    base, sm = mk("outflow")
+    sh = SmrHydro(sm, cfg, eos)
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        w = np.zeros((len(ids), 5) + base.block_shape)
+        w[:, 0] = 1.0
+        w[:, 4] = 1.0
+        state[lev] = jnp.asarray(np.asarray(
+            prim_to_cons(eos, jnp.asarray(w), "euler")))
+    state = sh.state_mgr.fill_ghosts(state)
+    s0 = {k: np.array(v) for k, v in state.items()}
+    g = base.nghost
+    for _ in range(3):
+        state = sh.step(state, 0.005, jnp.asarray(0.0))
+    for k in state:
+        np.testing.assert_array_equal(
+            np.asarray(state[k][:, :, g:-g, g:-g, g:-g]),
+            s0[k][:, :, g:-g, g:-g, g:-g])
