@@ -12,8 +12,9 @@ Same global dt on all levels (the Parthenon default); ghost fill via
 Round-1 scope: euler/glmmhd hyperbolic core + diffusion
 (conduction/viscosity/resistivity, level-scaled dx, conservative through
 the flux correction; unsplit or RKL2 super-time-stepping) + pointwise
-tabular cooling; periodic domains.  Coordinate-dependent sources and
-non-periodic boundaries on refined meshes land round 2.
+tabular cooling; periodic/outflow/reflecting domains.
+Coordinate-dependent sources and custom problem BCs on refined meshes
+land round 2.
 """
 
 from __future__ import annotations
