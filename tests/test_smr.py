@@ -311,3 +311,59 @@ def test_smr_nonperiodic_bcs():
         np.testing.assert_array_equal(
             np.asarray(state[k][:, :, g:-g, g:-g, g:-g]),
             s0[k][:, :, g:-g, g:-g, g:-g])
+
+
+def test_smr_advection_second_order():
+    """Smooth advection through an x-facing coarse-fine interface
+    converges at 2nd order in the base resolution (the region must be
+    block-aligned at both resolutions so the refined geometry matches)."""
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+
+    eos = EOS(gamma=5.0 / 3.0)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="ppm", integrator="vl2", cfl=0.3)
+
+    def rho_exact(x, t):
+        return 1.0 + 0.1 * np.sin(2 * np.pi * (x - t))
+
+    def run(n):
+        base = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=8, mbnx2=8, mbnx3=8,
+                    x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                    nghost=3)
+        sm = SmrMesh(base, [(0.5, 1.0, 0.5, 1.0, 0.5, 1.0, 1)])
+        assert len(sm.level_ids) == 2   # genuinely mixed-level
+        sh = SmrHydro(sm, cfg, eos)
+        state = {}
+        for lev, ids in sm.level_ids.items():
+            w = np.zeros((len(ids), 5) + base.block_shape)
+            for li, gid in enumerate(ids):
+                x, y, z = sm.cell_centers_leaf(gid)
+                w[li, 0] = np.broadcast_to(rho_exact(x, 0.0),
+                                           base.block_shape)
+                w[li, 1] = 1.0
+                w[li, 4] = 1.0
+            state[lev] = jnp.asarray(np.asarray(
+                prim_to_cons(eos, jnp.asarray(w), "euler")))
+        state = sh.state_mgr.fill_ghosts(state)
+        t_end = 0.1
+        nsteps = int(np.ceil(t_end / float(sh.estimate_dt(state))))
+        dt = t_end / nsteps
+        for _ in range(nsteps):
+            state = sh.step(state, dt, jnp.asarray(0.0))
+        g = base.nghost
+        err = 0.0
+        for lev, ids in sm.level_ids.items():
+            d1, d2, d3 = sm.dx(lev)
+            rho = np.asarray(state[lev][:, 0, g:-g, g:-g, g:-g])
+            for li, gid in enumerate(ids):
+                x, y, z = sm.cell_centers_leaf(gid)
+                ex = np.broadcast_to(rho_exact(x, t_end),
+                                     base.block_shape)[g:-g, g:-g, g:-g]
+                err += np.abs(rho[li] - ex).sum() * d1 * d2 * d3
+        return err
+
+    e16 = run(16)
+    e32 = run(32)
+    assert e16 / e32 > 3.5, (e16, e32, e16 / e32)
