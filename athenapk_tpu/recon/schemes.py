@@ -264,7 +264,11 @@ def wenoz(q, axis, dx):
     # whose exponent range is f32's (~1e-38 min normal), so 1e-42 would
     # flush to zero and produce 0/0. 1e-30 is equally negligible vs any
     # physical beta (amp^2-scaled) while staying representable on TPU.
-    epsL = 1.0e-30
+    # In f32 runs 1e-30 is too small the other way: ind = tau/epsL can
+    # reach ~2e19 and ind^2 overflows f32 (inf - inf -> NaN in the
+    # weight sums), so use 1e-18 there (still << any f32-resolvable
+    # beta, which is quantized at ~(eps_f32*q)^2 ~ 1e-14).
+    epsL = 1.0e-30 if q.dtype == jnp.float64 else 1.0e-18
     tau5 = jnp.abs(beta0 - beta2)
     ind0 = tau5 / (beta0 + epsL)
     ind1 = tau5 / (beta1 + epsL)
