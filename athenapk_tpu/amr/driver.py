@@ -92,6 +92,8 @@ class SmrSimulation:
             self.smesh = SmrMesh(base, regions, max_level=max_level)
 
         self.cfg = HydroConfig.from_parameter_input(pin)
+        from ..core.boundaries import check_reflecting_mhd
+        check_reflecting_mhd(base, self.cfg.fluid)
         self.eos = EOS.from_parameter_input(pin)
         self.pgen = get_pgen(self.problem_id)
         hook = getattr(self.pgen, "init_user_mesh_data", None)
@@ -233,11 +235,13 @@ class SmrSimulation:
         for out in self._rst_outs:
             if not force and (out["dt"] < 0.0 or self.t < out["next"]):
                 continue
-            write_restart_smr(
-                f"{self.problem_id}.out_{out['id']}."
-                f"{out['count']:05d}.rhdf", self)
+            fname = (f"{self.problem_id}.out_{out['id']}."
+                     f"{out['count']:05d}.rhdf")
+            # advance trigger before writing: the checkpoint stores the
+            # post-write state so a resume continues at count+1
             out["count"] += 1
             out["next"] = self.t + max(out["dt"], 0.0)
+            write_restart_smr(fname, self)
 
     def _write_hdf5(self, dt, force=False):
         if not self._hdf5_outs:
@@ -246,9 +250,13 @@ class SmrSimulation:
         from ..outputs.hdf5 import write_phdf_smr
         sm = self._smesh_now()
         for out in self._hdf5_outs:
-            if not force and out["dt"] > 0.0 and self.t < out["next"]:
+            # mirror the uniform path's semantics (_Hdf5Output.due): dt < 0
+            # means final-output-only; dt >= 0 dumps when t reaches 'next'
+            if not force and (out["dt"] < 0.0 or self.t < out["next"]):
                 continue
-            out["next"] = self.t + out["dt"]
+            if out["dt"] > 0.0:
+                while out["next"] <= self.t:
+                    out["next"] += out["dt"]
             want_prim = "prim" in out["variables"]
             want_cons = "cons" in out["variables"] or not want_prim
             prims = None

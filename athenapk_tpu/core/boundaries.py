@@ -31,6 +31,23 @@ from .mesh import Mesh
 _NORMAL_MOM = {1: IM1, 2: IM2, 3: IM3}
 
 
+def check_reflecting_mhd(mesh: Mesh, fluid: str) -> None:
+    """Reflecting BCs are hydro-only: B needs special treatment the
+    reference refuses to fake ('Reflecting boundary conditions for MHD
+    need special treatment', src/bvals/boundary_conditions_apk.hpp) —
+    hard-error instead of silently flipping only the normal momentum."""
+    if fluid != "glmmhd":
+        return
+    bcs = (mesh.ix1_bc, mesh.ox1_bc, mesh.ix2_bc, mesh.ox2_bc,
+           mesh.ix3_bc, mesh.ox3_bc)
+    if "reflecting" in bcs:
+        raise ValueError(
+            "Reflecting boundary conditions for MHD need special treatment "
+            "(magnetic-field components are not handled); use outflow or "
+            "periodic — matches the reference's guard in "
+            "bvals/boundary_conditions_apk.hpp")
+
+
 def _reflect_signs(nvar: int, dirn: int, dtype):
     s = [1.0] * nvar
     s[_NORMAL_MOM[dirn]] = -1.0

@@ -102,6 +102,7 @@ class Simulation:
 
         # initial state (fresh problem generation or restart payload)
         self.is_restart = restart is not None
+        self._restart_dt = float(restart.get("dt", 0.0)) if restart else 0.0
         if self.is_restart:
             u = jnp.asarray(restart["cons"])
             self.t = restart["t"]
@@ -193,6 +194,10 @@ class Simulation:
     def run(self):
         dt, dt_hyp = self._estimate()
         dt = float(dt)
+        if self.is_restart and self._restart_dt > 0.0:
+            # continue the 2x-growth-cap history across the checkpoint: a
+            # resumed run must take the same first dt as the continuous run
+            dt = min(2.0 * self._restart_dt, dt)
         self.tm_dt = dt
         self._do_outputs()
 
@@ -323,11 +328,13 @@ class _RestartOutput:
 
     def write(self, t, dt, u, w, mesh):
         from .outputs.restart import write_restart
-        write_restart(f"{self.base_name}.out_{self.oid}."
-                      f"{self.count:05d}.rhdf", self.sim)
+        fname = f"{self.base_name}.out_{self.oid}.{self.count:05d}.rhdf"
+        # advance the trigger BEFORE writing so the checkpoint stores the
+        # post-write state: a resume continues at count+1, not rewriting us
         self.count += 1
         while self.dt > 0.0 and self.next_time <= t:
             self.next_time += self.dt
+        write_restart(fname, self.sim)
 
 
 def run_from_file(path: str, overrides=None, quiet=False):

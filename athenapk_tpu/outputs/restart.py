@@ -103,7 +103,10 @@ def write_restart_smr(fname, sim):
                       sim.driver._deref_counts.items()}
             fh.create_dataset("DerefCounts",
                               data=json.dumps(counts).encode())
-        trig = [(o["next"], o["count"]) for o in sim._hdf5_outs]
+        # trigger order must match SmrSimulation's restore zip:
+        # hdf5 outs, then rst outs, then the hst trigger last
+        trig = [(o["next"], o["count"])
+                for o in sim._hdf5_outs + sim._rst_outs]
         trig.append((sim._hst_next, 0))
         fh.create_dataset("OutputTriggers", data=np.asarray(trig))
 

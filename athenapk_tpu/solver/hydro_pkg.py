@@ -103,6 +103,8 @@ class HydroPackage:
         self.problem_source_unsplit = problem_source_unsplit
         self.problem_source_strang = problem_source_strang
 
+        from ..core.boundaries import check_reflecting_mhd
+        check_reflecting_mhd(mesh, cfg.fluid)
         if cfg.fluid == GLMMHD and cfg.riemann == "hllc":
             raise ValueError("hllc is a hydro-only Riemann solver")
         if cfg.fluid == EULER and cfg.riemann == "hlld":

@@ -81,3 +81,19 @@ def test_bitwise_restart(tmp_path):
     assert sim_c.ncycle == 6
     np.testing.assert_array_equal(np.asarray(sim_a.u), np.asarray(sim_c.u))
     assert sim_a.t == sim_c.t
+
+
+def test_restart_seeds_dt_growth_cap(tmp_path):
+    """A resumed run must honor the 2x-growth cap relative to the
+    checkpointed dt (advisor finding: restart['dt'] was ignored)."""
+    os.chdir(tmp_path)
+    pin = ParameterInput.from_string(DECK.format(tlim=100.0, nlim=3))
+    sim = Simulation(pin, quiet=True).run()
+    sim.tm_dt = 1.0e-6  # pretend the last cycle ran at a tiny dt
+    ckpt = str(tmp_path / "cap.rhdf")
+    write_restart_file(sim, ckpt)
+    sim2 = run_from_restart(
+        ckpt, overrides=[f"parthenon/time/nlim={sim.ncycle + 1}"],
+        quiet=True)
+    assert sim2.ncycle == sim.ncycle + 1
+    assert sim2.tm_dt <= 2.0e-6 * (1 + 1e-12)
