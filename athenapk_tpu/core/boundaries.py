@@ -125,6 +125,13 @@ def make_boundary_fn(mesh: Mesh, custom_bcs=None) -> Callable:
 
     ``custom_bcs``: {bc_name: fn(layer, ghost_slice, mesh, dirn, pos)} for
     problem-registered boundary conditions (e.g. cloud inflow)."""
+    if mesh.nghost == 0:
+        # ghost-free periodic fast path (Mesh.__post_init__ validated
+        # all-periodic single-block): cyclic rolls in the stencil code
+        # already wrap correctly — the ghost fill is the identity.
+        if custom_bcs:
+            raise ValueError("custom boundary conditions require nghost > 0")
+        return lambda u: u
     nb3, nb2, nb1 = mesh.nb3, mesh.nb2, mesh.nb1
 
     def apply_boundaries(u):

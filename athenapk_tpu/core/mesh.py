@@ -189,6 +189,23 @@ class Mesh:
                     f"mesh {name}: global n={n} not divisible by block n={mb}")
         if self.nx2 == 1 and self.nx3 > 1:
             raise ValueError("nx3 > 1 requires nx2 > 1")
+        if self.nghost == 0:
+            # Ghost-free periodic fast path: the mesh is ONE global block and
+            # every stencil shift is a cyclic jnp.roll, which IS the periodic
+            # boundary condition.  This removes all ghost-zone storage (exact
+            # lane alignment at power-of-two widths, e.g. 256^3) and the
+            # boundary-fill pass entirely — the TPU-native formulation of a
+            # uniform periodic mesh.
+            bcs = (self.ix1_bc, self.ox1_bc, self.ix2_bc, self.ox2_bc,
+                   self.ix3_bc, self.ox3_bc)
+            if any(bc != "periodic" for bc in bcs):
+                raise ValueError(
+                    "nghost=0 (ghost-free fast path) requires periodic "
+                    "boundaries on all faces")
+            if self.nblocks != 1:
+                raise ValueError(
+                    "nghost=0 (ghost-free fast path) requires a single "
+                    "mesh-spanning block (meshblock = mesh)")
 
     # ------------------------------------------------------------ factory
     @classmethod

@@ -59,10 +59,23 @@ def _exact_cons(geom, mesh):
     e = (geom.p0 / gm1 + 0.5 * geom.d0 * geom.u0 ** 2 + a * sn * r[4, f]
          + 0.5 * (geom.bx0 ** 2 + geom.by0 ** 2 + geom.bz0 ** 2))
 
-    # B from central differences of A at cell centers
-    xb = np.broadcast_to(x, (mesh.nblocks,) + mesh.block_shape)
-    yb = np.broadcast_to(y, (mesh.nblocks,) + mesh.block_shape)
-    zb = np.broadcast_to(z, (mesh.nblocks,) + mesh.block_shape)
+    # B from central differences of A at cell centers.  A is evaluated on a
+    # one-cell-padded grid so EVERY stored cell gets a valid centered
+    # difference — required for the ghost-free (nghost=0) layout where
+    # domain-edge cells have no ghost fill to overwrite a garbage rim (A
+    # itself is linear-plus-periodic, so it cannot be wrapped cyclically).
+    p2 = 1 if mesh.nx2 > 1 else 0
+    p3 = 1 if mesh.nx3 > 1 else 0
+    xp = np.concatenate([x[..., :1] - mesh.dx1, x, x[..., -1:] + mesh.dx1],
+                        axis=-1)
+    yp = y if not p2 else np.concatenate(
+        [y[..., :1, :] - mesh.dx2, y, y[..., -1:, :] + mesh.dx2], axis=-2)
+    zp = z if not p3 else np.concatenate(
+        [z[:, :1] - mesh.dx3, z, z[:, -1:] + mesh.dx3], axis=-3)
+    pshape = (mesh.nblocks, mesh.NZ + 2 * p3, mesh.NY + 2 * p2, mesh.NX + 2)
+    xb = np.broadcast_to(xp, pshape)
+    yb = np.broadcast_to(yp, pshape)
+    zb = np.broadcast_to(zp, pshape)
     a1, a2, a3 = _vector_potential(geom, xb, yb, zb, dby, dbz)
 
     def d_dx(q):
@@ -82,9 +95,11 @@ def _exact_cons(geom, mesh):
             out[:, 1:-1] = (q[:, 2:] - q[:, :-2]) / (2 * mesh.dx3)
         return out
 
-    b1 = d_dy(a3) - d_dz(a2)
-    b2 = d_dz(a1) - d_dx(a3)
-    b3 = d_dx(a2) - d_dy(a1)
+    crop = (slice(None), slice(p3, p3 + mesh.NZ), slice(p2, p2 + mesh.NY),
+            slice(1, 1 + mesh.NX))
+    b1 = (d_dy(a3) - d_dz(a2))[crop]
+    b2 = (d_dz(a1) - d_dx(a3))[crop]
+    b3 = (d_dx(a2) - d_dy(a1))[crop]
 
     nb = mesh.nblocks
     u = np.zeros((nb, 9) + mesh.block_shape)
@@ -101,10 +116,7 @@ def _exact_cons(geom, mesh):
 
 
 def problem_generator(pin, mesh, cfg, eos):
-    u = _exact_cons(_geom(pin), mesh)
-    # one-cell rim of the ghost region has no valid central-difference B;
-    # the boundary fill will overwrite all ghosts from valid interiors
-    return u
+    return _exact_cons(_geom(pin), mesh)
 
 
 def user_work_after_loop(pin, mesh, cfg, eos, sim):

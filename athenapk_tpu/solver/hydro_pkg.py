@@ -111,7 +111,9 @@ class HydroPackage:
             raise ValueError("hlld is an MHD-only Riemann solver")
         from ..recon import nghost_for
         need = nghost_for(cfg.reconstruction)
-        if mesh.nghost < need:
+        # nghost=0 is the ghost-free periodic fast path: cyclic rolls give
+        # every cell a full-width stencil, so no ghost-depth requirement.
+        if mesh.nghost != 0 and mesh.nghost < need:
             raise ValueError(
                 f"reconstruction '{cfg.reconstruction}' needs nghost >= "
                 f"{need}, got {mesh.nghost} (set parthenon/mesh/nghost)")

@@ -37,9 +37,16 @@ def run_bench(n: int, mb: int, ncycles: int = 10, warmup: int = 2,
     from athenapk_tpu.config.parameter_input import ParameterInput
     from athenapk_tpu.driver import Simulation
 
-    # transverse sizes: nearest multiple of 32 to n/2
-    ny = max(32, (n // 2 // 32) * 32)
-    mby = int(os.environ.get("BENCH_MBY", "32"))
+    # Reference protocol: cubic 256^3 mesh (performance.py:33).  The
+    # all-periodic linear wave runs in the ghost-free layout (nghost=0,
+    # one mesh-spanning block): cyclic rolls ARE the periodic BC, the
+    # lane dimension is exactly 256 = 2 tiles with zero padding, and
+    # there is no boundary-fill pass.  mb == n selects that layout; any
+    # other mb uses the ghosted multi-block layout (nghost=3 for PPM).
+    ny = int(os.environ.get("BENCH_NY", str(n)))
+    mby = int(os.environ.get("BENCH_MBY", str(mb if mb != n else ny)))
+    ghostfree = (mb == n and mby == ny)
+    nghost = 0 if ghostfree else 3
     deck = f"""
 <job>
 problem_id = linear_wave_mhd
@@ -52,7 +59,7 @@ vflow = 0.0
 test = true
 
 <parthenon/mesh>
-nghost = 3
+nghost = {nghost}
 nx1 = {n}
 x1min = 0.0
 x1max = 3.0
@@ -119,7 +126,10 @@ gamma = 1.666666666666667
     wall = time.time() - t_start
     sim.u = u_f
     assert int(taken) == counted
-    return zones * counted / wall, wall, counted
+    desc = f"{sim.mesh.nx1}x{sim.mesh.nx2}x{sim.mesh.nx3}"
+    if ghostfree:
+        desc += " ghost-free"
+    return zones * counted / wall, wall, counted, desc
 
 
 def _tpu_alive(timeout=180):
@@ -136,11 +146,11 @@ def _tpu_alive(timeout=180):
 
 
 def main():
-    # Default grid: 244x128x128 with (122,32,32) blocks — mb1=122 makes the
-    # padded block width exactly 128 lanes for nghost=3 (PPM), which is
-    # ~8x faster than unaligned widths on TPU.
-    n = int(os.environ.get("BENCH_N", "244"))
-    mb = int(os.environ.get("BENCH_MB", "122"))
+    # Default: the reference performance-suite grid — 256^3, 10 cycles,
+    # 2-cycle warm-up (performance.py:32-54) — in the ghost-free layout
+    # (single 256^3 block, nghost=0: exact lane alignment, no ghost pass).
+    n = int(os.environ.get("BENCH_N", "256"))
+    mb = int(os.environ.get("BENCH_MB", str(n)))
     # TPU f64 is emulated via f32-pair rewriting with pathological compile
     # times; the production TPU path runs f32 (correctness gates run f64 on
     # CPU in tests/).  Override with BENCH_DTYPE=float64.
@@ -150,15 +160,14 @@ def main():
         log("TPU unavailable (tunnel wedged?) — falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
         device_note = "cpu-fallback"
-    tries = [(n, mb), (122, 122), (64, 32)]
+    tries = [(n, mb), (128, 128), (64, 64)]
     value = None
     for nn, mm in tries:
         try:
-            zcps, wall, counted = run_bench(nn, mm, dtype=dtype)
+            zcps, wall, counted, desc = run_bench(nn, mm, dtype=dtype)
             log(f"bench ok: {zcps:.4e} zone-cycles/s "
                 f"({counted} cycles in {wall:.2f}s)")
             value = zcps
-            size = nn
             break
         except Exception as e:  # noqa: BLE001 — fall back to smaller size
             log(f"bench at {nn} failed: {type(e).__name__}: {e}")
@@ -169,8 +178,7 @@ def main():
         return 1
     print(json.dumps({
         "metric": f"zone-cycles/s (3D MHD linear wave, HLLD+PPM+VL2, "
-                  f"{dtype}, grid {size}x{max(32,(size//2//32)*32)}^2, "
-                  f"{device_note})",
+                  f"{dtype}, grid {desc}, {device_note})",
         "value": value,
         "unit": "zone-cycles/s",
         "vs_baseline": value / A100_BASELINE_ZCPS,
