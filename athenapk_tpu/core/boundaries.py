@@ -55,6 +55,62 @@ def _reflect_signs(nvar: int, dirn: int, dtype):
     return jnp.asarray(s, dtype=dtype).reshape((nvar, 1, 1, 1))
 
 
+def _cslice(cell_ax: int, a, b):
+    idx = [slice(None)] * 7
+    idx[cell_ax] = slice(a, b)
+    return tuple(idx)
+
+
+def _bslice(blk_ax: int, pos: str):
+    idx = [slice(None)] * 7
+    idx[blk_ax] = slice(0, 1) if pos == "inner" else slice(-1, None)
+    return tuple(idx)
+
+
+def apply_physical_dir(grid, mesh: Mesh, dirn: int, bc: str, pos: str,
+                       custom_bcs=None):
+    """Apply one physical BC to the domain-boundary block layer of ``grid``
+    ([nb3, nb2, nb1, nvar, NZ, NY, NX]); returns the updated grid.
+
+    Shared between the single-host fill (``_fill_dir``) and the sharded
+    fill (``parallel.halo``), where the "boundary layer" is the edge
+    device's first/last local block layer."""
+    if bc == "periodic":
+        return grid
+    g = mesh.nghost
+    cell_ax = {1: 6, 2: 5, 3: 4}[dirn]
+    blk_ax = {1: 2, 2: 1, 3: 0}[dirn]
+    N = grid.shape[cell_ax]
+    nvar = grid.shape[3]
+    cs = lambda a, b: _cslice(cell_ax, a, b)
+    layer = grid[_bslice(blk_ax, pos)]
+    if custom_bcs and bc in custom_bcs:
+        # user-registered BC (RegisterBoundaryCondition analog,
+        # main.cpp:129-140): mutates the ghost slab of the layer
+        gsl = cs(0, g) if pos == "inner" else cs(N - g, N)
+        layer = custom_bcs[bc](layer, gsl, mesh, dirn, pos)
+    elif bc == "outflow":
+        if pos == "inner":
+            edge = layer[cs(g, g + 1)]
+            ghost = jnp.broadcast_to(edge, layer[cs(0, g)].shape)
+            layer = layer.at[cs(0, g)].set(ghost)
+        else:
+            edge = layer[cs(N - g - 1, N - g)]
+            ghost = jnp.broadcast_to(edge, layer[cs(N - g, N)].shape)
+            layer = layer.at[cs(N - g, N)].set(ghost)
+    elif bc == "reflecting":
+        signs = _reflect_signs(nvar, dirn, grid.dtype)
+        if pos == "inner":
+            mirror = jnp.flip(layer[cs(g, 2 * g)], axis=cell_ax)
+            layer = layer.at[cs(0, g)].set(signs * mirror)
+        else:
+            mirror = jnp.flip(layer[cs(N - 2 * g, N - g)], axis=cell_ax)
+            layer = layer.at[cs(N - g, N)].set(signs * mirror)
+    else:
+        raise ValueError(f"unknown boundary condition '{bc}'")
+    return grid.at[_bslice(blk_ax, pos)].set(layer)
+
+
 def _fill_dir(grid, mesh: Mesh, dirn: int, inner_bc: str, outer_bc: str,
               custom_bcs=None):
     """Exchange + physical BC along one direction of the block grid.
@@ -66,57 +122,18 @@ def _fill_dir(grid, mesh: Mesh, dirn: int, inner_bc: str, outer_bc: str,
     cell_ax = {1: 6, 2: 5, 3: 4}[dirn]
     blk_ax = {1: 2, 2: 1, 3: 0}[dirn]
     N = grid.shape[cell_ax]
-    nvar = grid.shape[3]
-
-    def cslice(a, b):
-        idx = [slice(None)] * 7
-        idx[cell_ax] = slice(a, b)
-        return tuple(idx)
 
     # --- inter-block exchange (periodic across the domain by construction)
     left = jnp.roll(grid, 1, axis=blk_ax)    # neighbor at -dirn
     right = jnp.roll(grid, -1, axis=blk_ax)  # neighbor at +dirn
-    grid = grid.at[cslice(0, g)].set(left[cslice(N - 2 * g, N - g)])
-    grid = grid.at[cslice(N - g, N)].set(right[cslice(g, 2 * g)])
+    grid = grid.at[_cslice(cell_ax, 0, g)].set(
+        left[_cslice(cell_ax, N - 2 * g, N - g)])
+    grid = grid.at[_cslice(cell_ax, N - g, N)].set(
+        right[_cslice(cell_ax, g, 2 * g)])
 
     # --- physical BCs on the domain-boundary block layer
-    def bslice(pos):
-        idx = [slice(None)] * 7
-        idx[blk_ax] = slice(0, 1) if pos == "inner" else slice(-1, None)
-        return tuple(idx)
-
-    def apply_physical(grid, bc: str, pos: str):
-        if bc == "periodic":
-            return grid  # already correct from the roll
-        layer = grid[bslice(pos)]
-        if custom_bcs and bc in custom_bcs:
-            # user-registered BC (RegisterBoundaryCondition analog,
-            # main.cpp:129-140): mutates the ghost slab of the layer
-            gsl = cslice(0, g) if pos == "inner" else cslice(N - g, N)
-            layer = custom_bcs[bc](layer, gsl, mesh, dirn, pos)
-        elif bc == "outflow":
-            if pos == "inner":
-                edge = layer[cslice(g, g + 1)]
-                ghost = jnp.broadcast_to(edge, layer[cslice(0, g)].shape)
-                layer = layer.at[cslice(0, g)].set(ghost)
-            else:
-                edge = layer[cslice(N - g - 1, N - g)]
-                ghost = jnp.broadcast_to(edge, layer[cslice(N - g, N)].shape)
-                layer = layer.at[cslice(N - g, N)].set(ghost)
-        elif bc == "reflecting":
-            signs = _reflect_signs(nvar, dirn, grid.dtype)
-            if pos == "inner":
-                mirror = jnp.flip(layer[cslice(g, 2 * g)], axis=cell_ax)
-                layer = layer.at[cslice(0, g)].set(signs * mirror)
-            else:
-                mirror = jnp.flip(layer[cslice(N - 2 * g, N - g)], axis=cell_ax)
-                layer = layer.at[cslice(N - g, N)].set(signs * mirror)
-        else:
-            raise ValueError(f"unknown boundary condition '{bc}'")
-        return grid.at[bslice(pos)].set(layer)
-
-    grid = apply_physical(grid, inner_bc, "inner")
-    grid = apply_physical(grid, outer_bc, "outer")
+    grid = apply_physical_dir(grid, mesh, dirn, inner_bc, "inner", custom_bcs)
+    grid = apply_physical_dir(grid, mesh, dirn, outer_bc, "outer", custom_bcs)
     return grid
 
 

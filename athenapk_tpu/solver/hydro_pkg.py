@@ -99,6 +99,7 @@ class HydroPackage:
         self.eos = eos
         self.diffusion = diffusion if diffusion is not None else DiffusionConfig()
         self.cooling = cooling  # TabularCooling or None
+        self.custom_bcs = custom_bcs
         self.apply_boundaries = make_boundary_fn(mesh, custom_bcs)
         self.problem_source_unsplit = problem_source_unsplit
         self.problem_source_strang = problem_source_strang

@@ -49,12 +49,9 @@ def run_one(fluid, integ, recon, riemann, n, dtype, ncycles=10, warmup=2):
 
     from athenapk_tpu.config.parameter_input import ParameterInput
     from athenapk_tpu.driver import Simulation
-    from athenapk_tpu.recon import nghost_for
 
-    g = nghost_for(recon)
-    mb1 = 128 - 2 * g  # lane-aligned padded width
-    n1 = 2 * mb1
-    ny = max(32, (n // 2 // 32) * 32)
+    # ghost-free layout (nghost=0, one mesh-spanning block): the reference
+    # protocol's 256^3 mesh with exact lane alignment (see bench.py)
     deck = f"""
 <job>
 problem_id = linear_wave_mhd
@@ -66,21 +63,16 @@ amp = 1.0e-6
 test = true
 
 <parthenon/mesh>
-nghost = {g}
-nx1 = {n1}
+nghost = 0
+nx1 = {n}
 x1min = 0.0
 x1max = 3.0
-nx2 = {ny}
+nx2 = {n}
 x2min = 0.0
 x2max = 1.5
-nx3 = {ny}
+nx3 = {n}
 x3min = 0.0
 x3max = 1.5
-
-<parthenon/meshblock>
-nx1 = {mb1}
-nx2 = 32
-nx3 = 32
 
 <parthenon/time>
 integrator = {integ}
@@ -136,7 +128,7 @@ gamma = 1.666666666666667
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=244)
+    ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()

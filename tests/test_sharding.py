@@ -12,10 +12,12 @@ from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
 from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
 
 
-def _setup():
-    mesh = Mesh(nx1=16, nx2=16, nx3=32, mbnx1=8, mbnx2=8, mbnx3=4,
-                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
-                nghost=2)
+def _setup(**mesh_kw):
+    kw = dict(nx1=16, nx2=16, nx3=32, mbnx1=8, mbnx2=8, mbnx3=4,
+              x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+              nghost=2)
+    kw.update(mesh_kw)
+    mesh = Mesh(**kw)
     cfg = HydroConfig(fluid="glmmhd", riemann="hlld", reconstruction="plm",
                       integrator="vl2")
     eos = EOS(gamma=5.0 / 3.0)
@@ -74,6 +76,57 @@ def test_gspmd_step_matches_single_device():
                    out_shardings=bsh)
     got = np.asarray(step(u_sh, dt, c_h))
     np.testing.assert_allclose(ref, got, rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shard_map_step_nonperiodic_z():
+    """Physical BCs on the SHARDED axis: outflow-z is applied only on the
+    edge devices (the reference applies physical BCs only on blocks that
+    touch the domain boundary)."""
+    from athenapk_tpu.parallel.halo import make_sharded_step
+    from athenapk_tpu.parallel.mesh_sharding import (make_device_mesh,
+                                                     shard_state)
+
+    mesh, cfg, eos, pkg, u = _setup(ix3_bc="outflow", ox3_bc="outflow")
+    dt = jnp.asarray(1e-3)
+    c_h = jnp.asarray(1.0)
+    ref = np.asarray(pkg.step(u, dt, c_h))
+
+    dmesh = make_device_mesh(jax.devices()[:8])
+    u_sh = shard_state(u, mesh, dmesh)
+    step_fn, _ = make_sharded_step(pkg, dmesh)
+    got = np.asarray(step_fn(u_sh, dt, c_h))
+    np.testing.assert_allclose(ref, got, rtol=1e-14, atol=1e-14)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("bcs", [
+    {},                                          # fully periodic
+    {"ix2_bc": "outflow", "ox2_bc": "outflow",   # physical BCs on BOTH
+     "ix3_bc": "outflow", "ox3_bc": "outflow"},  # sharded axes
+])
+def test_shard_map_step_2d_mesh(bcs):
+    """2-D (z, y) device-mesh decomposition (pod layout): ppermute halos
+    along both sharded block-grid axes; matches single-device bitwise."""
+    from athenapk_tpu.parallel.halo import (from_grid, grid_sharding,
+                                            make_device_mesh_2d,
+                                            make_sharded_step_grid, to_grid)
+
+    mesh, cfg, eos, pkg, u = _setup(**bcs)
+    dt = jnp.asarray(1e-3)
+    c_h = jnp.asarray(1.0)
+    ref = np.asarray(pkg.step(u, dt, c_h))
+
+    dmesh = make_device_mesh_2d(jax.devices(), (4, 2))
+    ug = jax.device_put(to_grid(u, mesh), grid_sharding(dmesh))
+    step_fn, dt_fn = make_sharded_step_grid(pkg, dmesh)
+    got = np.asarray(from_grid(step_fn(ug, dt, c_h), mesh))
+    np.testing.assert_allclose(ref, got, rtol=1e-14, atol=1e-14)
+
+    dts = dt_fn(ug)
+    _, prim = pkg.cons_to_prim(u)
+    dts_ref = pkg.estimate_timestep(prim)
+    np.testing.assert_allclose(float(dts[0]), float(dts_ref[0]), rtol=1e-15)
 
 
 def test_sharded_smr_step():
