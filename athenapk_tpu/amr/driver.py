@@ -121,17 +121,29 @@ class SmrSimulation:
         self.cooling = cooling
         self.diffusion = diffusion
 
+        # per-level problem sources (coordinate-dependent; rebuilt per
+        # remesh on adaptive meshes): the pgen's SMR-aware hook
+        src_hook = getattr(self.pgen, "problem_source_unsplit_smr", None)
+        src_factory = None
+        if src_hook is not None:
+            cfg_, eos_ = self.cfg, self.eos
+            src_factory = lambda sm: src_hook(pin, sm, cfg_, eos_)  # noqa: E731
+
         if self.adaptive:
             rcfg = RefinementConfig.from_parameter_input(pin)
             self.driver = AmrHydro(
                 self.smesh, self.cfg, self.eos, rcfg,
                 derefine_count=pin.get_or_add_integer(
                     "parthenon/mesh", "derefine_count", 10),
-                cooling=cooling, diffusion=diffusion)
+                cooling=cooling, diffusion=diffusion,
+                problem_source_factory=src_factory)
         else:
             self.driver = None
-            self.stepper = SmrHydro(self.smesh, self.cfg, self.eos,
-                                    cooling=cooling, diffusion=diffusion)
+            self.stepper = SmrHydro(
+                self.smesh, self.cfg, self.eos, cooling=cooling,
+                diffusion=diffusion,
+                problem_source_unsplit=(src_factory(self.smesh)
+                                        if src_factory else None))
 
         if self.is_restart:
             # ghost-inclusive saved state: bit-exact resume, no refill
@@ -140,8 +152,12 @@ class SmrSimulation:
             if self.adaptive and "deref_counts" in restart:
                 self.driver._deref_counts = dict(restart["deref_counts"])
         else:
-            self.state = init_state_from_pgen(self.smesh, self.pgen, pin,
-                                              self.cfg, self.eos)
+            gen_smr = getattr(self.pgen, "problem_generator_smr", None)
+            if gen_smr is not None:
+                self.state = gen_smr(pin, self.smesh, self.cfg, self.eos)
+            else:
+                self.state = init_state_from_pgen(self.smesh, self.pgen,
+                                                  pin, self.cfg, self.eos)
             self.state = SmrState(self.smesh, self.cfg.nvar).fill_ghosts(
                 self.state)
 
@@ -315,14 +331,16 @@ class SmrSimulation:
                 self.state = st.sts_half_step(self.state, 0.5 * dt,
                                               dt_diff)
                 self.state = st.step(self.state, dt,
-                                     jnp.asarray(self._c_h(dt)))
+                                     jnp.asarray(self._c_h(dt)),
+                                     jnp.asarray(self.t))
                 self.state = st.sts_half_step(self.state, 0.5 * dt,
                                               dt_diff)
             else:
                 dt = float(st.estimate_dt(self.state))
                 dt = min(dt, self.tlim - self.t)
                 self.state = st.step(self.state, dt,
-                                     jnp.asarray(self._c_h(dt)))
+                                     jnp.asarray(self._c_h(dt)),
+                                     jnp.asarray(self.t))
             self.t += dt
             self.ncycle += 1
             zone_cycles += zones_per_block * sum(

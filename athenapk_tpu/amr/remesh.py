@@ -135,12 +135,15 @@ class AmrHydro:
 
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
                  check_interval=1, derefine_count=10, cooling=None,
-                 diffusion=None):
+                 diffusion=None, problem_source_factory=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
         self.cooling = cooling
         self.diffusion = diffusion
+        # factory(smesh) -> src(state, prims, beta_dt, t): per-leaf
+        # coordinate closures must be rebuilt when the mesh changes
+        self.problem_source_factory = problem_source_factory
         self.refine_cfg = refine_cfg
         self.check_interval = max(1, int(check_interval))
         # a leaf must request derefinement this many CONSECUTIVE checks
@@ -162,9 +165,12 @@ class AmrHydro:
         sig = self._signature()
         st = self._steppers.get(sig)
         if st is None:
+            src = (self.problem_source_factory(self.smesh)
+                   if self.problem_source_factory is not None else None)
             st = SmrHydro(self.smesh, self.cfg, self.eos,
                           cooling=self.cooling,
-                          diffusion=self.diffusion)
+                          diffusion=self.diffusion,
+                          problem_source_unsplit=src)
             self._steppers[sig] = st
         return st
 

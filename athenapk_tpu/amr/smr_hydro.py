@@ -34,11 +34,15 @@ _AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
 
 class SmrHydro:
     def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None,
-                 diffusion=None):
+                 diffusion=None, problem_source_unsplit=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
         self.cooling = cooling   # pointwise unsplit source (per stage)
+        # per-level problem source: src(state, prims, beta_dt, t) -> state
+        # (coordinate-dependent sources get per-leaf centers; see
+        # pgen.cluster.problem_source_unsplit_smr)
+        self.problem_source_unsplit = problem_source_unsplit
         self.diffusion = (diffusion if diffusion is not None
                           and diffusion.any_enabled else None)
         self.sts = (self.diffusion is not None
@@ -250,7 +254,7 @@ class SmrHydro:
             div = dF if div is None else div + dF
         return gam0 * u0 + gam1 * u1 - beta_dt * div
 
-    def _step(self, state, dt, c_h):
+    def _step(self, state, dt, c_h, t=0.0):
         cfg = self.cfg
         tab = INTEGRATORS[cfg.integrator]
         u0 = dict(state)
@@ -286,6 +290,10 @@ class SmrHydro:
                     # path's ordering; hydro_pkg.py:296-298)
                     u0[lev] = self.cooling.apply(u0[lev], beta_dt,
                                                  cfg.fluid)
+            if self.problem_source_unsplit is not None:
+                # per-level coordinate-dependent sources with cross-level
+                # global reductions (AddUnsplitSources analog)
+                u0 = self.problem_source_unsplit(u0, prims, beta_dt, t)
             u0 = self.state_mgr.fill_ghosts(u0)
         return u0
 
@@ -315,6 +323,13 @@ class SmrHydro:
                 min_dt = jnp.minimum(min_dt, jnp.min(
                     dx[d - 1] / (jnp.abs(wi[:, d]) + lam[d - 1])))
         dt_hyp = cfg.cfl * min_dt
+        if self.cooling is not None:
+            # cooling-CFL dt across all levels (uniform path:
+            # hydro_pkg.py:421-423)
+            for lev, u in state.items():
+                _, w = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+                dt_hyp = jnp.minimum(dt_hyp, self.cooling.estimate_timestep(
+                    w, self._level_mesh[lev]))
         if self.diffusion is None:
             return dt_hyp
         return self.estimate_dt_with_diff(state, dt_hyp=dt_hyp)[0]

@@ -77,66 +77,121 @@ class AGNFeedback:
             mass_rate = mass_rate + self.fixed_power / (self.efficiency * c2)
         return power, mass_rate
 
-    def apply(self, u, prim, beta_dt, t, xb, yb, zb, mhd):
+    def apply(self, u, prim, beta_dt, t, xb, yb, zb, mhd, valid=None):
+        """Single-group (uniform mesh) entry: delegates to apply_groups."""
+        group = dict(u=u, prim=prim, x=xb, y=yb, z=zb,
+                     vol=self._mesh_cell_volume, valid=valid)
+        return self.apply_groups([group], beta_dt, t, mhd)[0]
+
+    def apply_groups(self, groups, beta_dt, t, mhd):
+        """AGN feedback over multiple leaf groups (one per refinement
+        level on SMR/AMR meshes).  Each group is a dict with keys
+        ``u, prim, x, y, z, vol, valid`` (``vol`` = that group's cell
+        volume, ``valid`` = interior mask or None).  Global reductions
+        (accretion rate, tower energy quadratic) are volume-weighted sums
+        of per-group partials — the cross-level analog of the reference's
+        MPI_Allreduce wiring (``hydro_driver.cpp:360-449``).  Returns the
+        list of updated ``u`` arrays in group order."""
         if self.disabled or (self.fixed_power == 0.0
                              and self.triggering is None):
-            return u
-        cell_volume = self._mesh_cell_volume
-        r = jnp.sqrt(xb ** 2 + yb ** 2 + zb ** 2)
-        mdot = (self.triggering.accretion_rate(u, prim, r, cell_volume)
-                if self.triggering is not None else jnp.asarray(0.0))
+            return [g["u"] for g in groups]
+        for g in groups:
+            g["r"] = jnp.sqrt(g["x"] ** 2 + g["y"] ** 2 + g["z"] ** 2)
+
+        # --- global accretion rate from combined per-group partials
+        if self.triggering is not None and self.triggering.mode != "NONE":
+            parts = [self.triggering.accretion_partials(
+                g["prim"], g["r"], g["vol"], g["valid"]) for g in groups]
+            totals = {k: sum(p[k] for p in parts) for k in parts[0]}
+            mdot = self.triggering.rate_from_partials(totals)
+        else:
+            mdot = jnp.asarray(0.0)
         power, mass_rate = self.power_and_mass_rate(mdot)
 
-        # thermal dump inside thermal_radius
-        if self.thermal_fraction > 0:
-            vol = 4.0 / 3.0 * math.pi * self.thermal_radius ** 3
-            de = self.thermal_fraction * power / vol * beta_dt
-            drho = self.thermal_fraction * mass_rate / vol * beta_dt
-            inside = r ** 2 <= self.thermal_radius ** 2
-            u = u.at[:, IEN].add(jnp.where(inside, de, 0.0))
-            # add density at fixed velocity: scale momenta, add KE
-            rho = u[:, IDN]
-            fac = jnp.where(inside, (rho + drho) / rho, 1.0)
-            ke_old = 0.5 * (u[:, IM1] ** 2 + u[:, IM2] ** 2
-                            + u[:, IM3] ** 2) / rho
-            u = u.at[:, IDN].add(jnp.where(inside, drho, 0.0))
-            for cidx in (IM1, IM2, IM3):
-                u = u.at[:, cidx].multiply(fac)
-            u = u.at[:, IEN].add(jnp.where(inside, ke_old * (fac - 1.0), 0.0))
-
-        # kinetic jet slabs
-        if self.kinetic_fraction > 0:
-            rj, cth, sth, h = self.jet_coords.sim_to_jet(xb, yb, zb, t)
-            in_jet = ((rj < self.kinetic_jet_radius)
-                      & (jnp.abs(h) >= self.kinetic_jet_offset)
-                      & (jnp.abs(h) <= self.kinetic_jet_offset
-                         + self.kinetic_jet_thickness))
-            scal = 1.0 / (2 * self.kinetic_jet_thickness * math.pi
-                          * self.kinetic_jet_radius ** 2)
-            jet_density = self.kinetic_fraction * mass_rate * scal * beta_dt
-            jet_momentum = jet_density * self.kinetic_jet_velocity
-            jet_feedback = self.kinetic_fraction * power * scal * beta_dt
-            ax, ay, az = self.jet_coords.jet_vec_to_sim(
-                cth, sth, 0.0, 0.0, jnp.ones_like(h), t)
-            sign = jnp.where(h > 0, 1.0, -1.0)
-            u = u.at[:, IDN].add(jnp.where(in_jet, jet_density, 0.0))
-            u = u.at[:, IM1].add(jnp.where(in_jet,
-                                           jet_momentum * sign * ax, 0.0))
-            u = u.at[:, IM2].add(jnp.where(in_jet,
-                                           jet_momentum * sign * ay, 0.0))
-            u = u.at[:, IM3].add(jnp.where(in_jet,
-                                           jet_momentum * sign * az, 0.0))
-            u = u.at[:, IEN].add(jnp.where(in_jet, jet_feedback, 0.0))
-
-        # magnetic tower
+        # --- magnetic tower scale from combined (linear, quad) partials
+        tower_f = None
+        tower_bt = None
         if mhd and self.magnetic_fraction > 0:
-            u = self.magnetic_tower.power_src_term(
-                u, self.magnetic_fraction * power,
-                self.magnetic_fraction * mass_rate, beta_dt, t, xb, yb, zb,
-                cell_volume)
+            tower_bt = [self.magnetic_tower.unit_field(g["x"], g["y"],
+                                                       g["z"], t)
+                        for g in groups]
+            m_power = self.magnetic_fraction * power
+            if self.fixed_power > 0 or self.triggering is not None:
+                lq = [self.magnetic_tower.tower_partials(
+                    g["u"], bt, g["vol"], g["valid"])
+                    for g, bt in zip(groups, tower_bt)]
+                linear = sum(l for l, _ in lq)
+                quad = sum(q for _, q in lq)
+                tower_f = self.magnetic_tower.scale_from_power(
+                    linear, quad, m_power, beta_dt)
+            else:
+                tower_f = self.magnetic_tower.fixed_field_rate * beta_dt
 
-        # mass removal by the triggering region
-        if self.triggering is not None:
-            u = self.triggering.remove_accreted(u, prim, r, mdot, beta_dt,
-                                                cell_volume)
-        return u
+        # --- Bondi mass removal needs the global region mass
+        region_mass = None
+        if (self.triggering is not None and self.triggering.mode
+                not in ("NONE", "COLD_GAS") and self.triggering.remove_mass):
+            region_mass = sum(self.triggering.region_mass(
+                g["prim"], g["r"], g["vol"], g["valid"]) for g in groups)
+
+        out = []
+        for gi, g in enumerate(groups):
+            u, r, xb, yb, zb = g["u"], g["r"], g["x"], g["y"], g["z"]
+
+            # thermal dump inside thermal_radius
+            if self.thermal_fraction > 0:
+                vol = 4.0 / 3.0 * math.pi * self.thermal_radius ** 3
+                de = self.thermal_fraction * power / vol * beta_dt
+                drho = self.thermal_fraction * mass_rate / vol * beta_dt
+                inside = r ** 2 <= self.thermal_radius ** 2
+                u = u.at[:, IEN].add(jnp.where(inside, de, 0.0))
+                # add density at fixed velocity: scale momenta, add KE
+                rho = u[:, IDN]
+                fac = jnp.where(inside, (rho + drho) / rho, 1.0)
+                ke_old = 0.5 * (u[:, IM1] ** 2 + u[:, IM2] ** 2
+                                + u[:, IM3] ** 2) / rho
+                u = u.at[:, IDN].add(jnp.where(inside, drho, 0.0))
+                for cidx in (IM1, IM2, IM3):
+                    u = u.at[:, cidx].multiply(fac)
+                u = u.at[:, IEN].add(jnp.where(inside, ke_old * (fac - 1.0),
+                                               0.0))
+
+            # kinetic jet slabs
+            if self.kinetic_fraction > 0:
+                rj, cth, sth, h = self.jet_coords.sim_to_jet(xb, yb, zb, t)
+                in_jet = ((rj < self.kinetic_jet_radius)
+                          & (jnp.abs(h) >= self.kinetic_jet_offset)
+                          & (jnp.abs(h) <= self.kinetic_jet_offset
+                             + self.kinetic_jet_thickness))
+                scal = 1.0 / (2 * self.kinetic_jet_thickness * math.pi
+                              * self.kinetic_jet_radius ** 2)
+                jet_density = (self.kinetic_fraction * mass_rate * scal
+                               * beta_dt)
+                jet_momentum = jet_density * self.kinetic_jet_velocity
+                jet_feedback = self.kinetic_fraction * power * scal * beta_dt
+                ax, ay, az = self.jet_coords.jet_vec_to_sim(
+                    cth, sth, 0.0, 0.0, jnp.ones_like(h), t)
+                sign = jnp.where(h > 0, 1.0, -1.0)
+                u = u.at[:, IDN].add(jnp.where(in_jet, jet_density, 0.0))
+                u = u.at[:, IM1].add(jnp.where(in_jet,
+                                               jet_momentum * sign * ax, 0.0))
+                u = u.at[:, IM2].add(jnp.where(in_jet,
+                                               jet_momentum * sign * ay, 0.0))
+                u = u.at[:, IM3].add(jnp.where(in_jet,
+                                               jet_momentum * sign * az, 0.0))
+                u = u.at[:, IEN].add(jnp.where(in_jet, jet_feedback, 0.0))
+
+            # magnetic tower (globally scaled field injection)
+            if tower_f is not None:
+                u = self.magnetic_tower.apply_scaled(
+                    u, tower_f, tower_bt[gi],
+                    self.magnetic_fraction * mass_rate, beta_dt, t,
+                    xb, yb, zb)
+
+            # mass removal by the triggering region
+            if self.triggering is not None:
+                u = self.triggering.remove_accreted(
+                    u, g["prim"], r, mdot, beta_dt, g["vol"],
+                    region_mass=region_mass)
+            out.append(u)
+        return out

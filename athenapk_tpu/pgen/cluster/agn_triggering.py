@@ -44,25 +44,42 @@ class AGNTriggering:
         self.mean_molecular_mass = mbar_over_kb * units.k_boltzmann()
 
     # ------------------------------------------------------------------
-    def accretion_rate(self, u, prim, r, cell_volume):
-        """Global accretion rate (jnp scalar)."""
-        if self.mode == "NONE":
-            return jnp.asarray(0.0)
+    def accretion_partials(self, prim, r, cell_volume, valid=None):
+        """Per-group partial sums of the accretion reduction.
+
+        ``cell_volume`` is the group's (per-level) cell volume; ``valid``
+        is an optional broadcastable interior mask excluding ghost zones
+        (on refined meshes a leaf group contributes only its interiors —
+        the volume-weighted cross-level reduction of the reference's
+        MPI_Allreduce, ``hydro_driver.cpp:360-394``).  Partials from
+        multiple groups are combined by plain addition before
+        ``rate_from_partials``."""
         inside = r < self.accretion_radius
+        if valid is not None:
+            inside = inside & valid
         rho = prim[:, IDN]
         if self.mode == "COLD_GAS":
             temp = self.mbar_over_kb * prim[:, IPR] / rho
             cold = inside & (temp <= self.cold_temp_thresh)
-            cold_mass = jnp.sum(jnp.where(cold, rho, 0.0)) * cell_volume
-            return cold_mass / self.cold_t_acc
-        # Bondi-like: mass-weighted means inside the accretion region
+            return {"cold_mass":
+                    jnp.sum(jnp.where(cold, rho, 0.0)) * cell_volume}
+        # Bondi-like: mass-weighted sums inside the accretion region
         w = jnp.where(inside, rho, 0.0) * cell_volume
-        total = jnp.maximum(jnp.sum(w), 1e-300)
-        mean_rho = jnp.sum(w * rho) / total
         v2 = prim[:, IV1] ** 2 + prim[:, IV2] ** 2 + prim[:, IV3] ** 2
-        mean_v = jnp.sum(w * jnp.sqrt(v2)) / total
         cs = jnp.sqrt(self.gamma * prim[:, IPR] / rho)
-        mean_cs = jnp.sum(w * cs) / total
+        return {"w": jnp.sum(w),
+                "w_rho": jnp.sum(w * rho),
+                "w_v": jnp.sum(w * jnp.sqrt(v2)),
+                "w_cs": jnp.sum(w * cs)}
+
+    def rate_from_partials(self, p):
+        """Accretion rate from (summed) partials."""
+        if self.mode == "COLD_GAS":
+            return p["cold_mass"] / self.cold_t_acc
+        total = jnp.maximum(p["w"], 1e-300)
+        mean_rho = p["w_rho"] / total
+        mean_v = p["w_v"] / total
+        mean_cs = p["w_cs"] / total
         if self.mode == "BOOSTED_BONDI":
             alpha = self.bondi_alpha
         elif self.mode == "BOOTH_SCHAYE":
@@ -75,9 +92,24 @@ class AGNTriggering:
         return (alpha * 2.0 * math.pi * G ** 2 * self.bondi_m_smbh ** 2
                 * mean_rho / (mean_v ** 2 + mean_cs ** 2) ** 1.5)
 
-    def remove_accreted(self, u, prim, r, mdot, beta_dt, cell_volume):
+    def accretion_rate(self, u, prim, r, cell_volume, valid=None):
+        """Global accretion rate (jnp scalar; single-group convenience)."""
+        if self.mode == "NONE":
+            return jnp.asarray(0.0)
+        return self.rate_from_partials(
+            self.accretion_partials(prim, r, cell_volume, valid))
+
+    def region_mass(self, prim, r, cell_volume, valid=None):
+        inside = r < self.accretion_radius
+        if valid is not None:
+            inside = inside & valid
+        return jnp.sum(jnp.where(inside, prim[:, IDN], 0.0)) * cell_volume
+
+    def remove_accreted(self, u, prim, r, mdot, beta_dt, cell_volume,
+                        region_mass=None):
         """Proportionally remove the accreted gas from the triggering
-        region (``RemoveGas``)."""
+        region (``RemoveGas``).  ``region_mass`` may be passed in when the
+        region spans multiple levels (global volume-weighted sum)."""
         if self.mode == "NONE" or not self.remove_mass:
             return u
         inside = r < self.accretion_radius
@@ -88,8 +120,9 @@ class AGNTriggering:
             frac = beta_dt / self.cold_t_acc
         else:
             sel = inside
-            region_mass = jnp.maximum(
-                jnp.sum(jnp.where(inside, rho, 0.0)) * cell_volume, 1e-300)
+            if region_mass is None:
+                region_mass = self.region_mass(prim, r, cell_volume)
+            region_mass = jnp.maximum(region_mass, 1e-300)
             frac = jnp.minimum(mdot * beta_dt / region_mass, 0.9)
         scale = jnp.where(sel, 1.0 - frac, 1.0)
         for c in (IDN, IM1, IM2, IM3, IEN):

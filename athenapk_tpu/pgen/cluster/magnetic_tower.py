@@ -64,51 +64,69 @@ class MagneticTower:
         return rate * jnp.exp(-(r ** 2 + h ** 2) / self.l_mass_scale ** 2)
 
     # ------------------------------------------------------------- inject
-    def initial_field(self, pin, mesh, u_np):
-        """Add the t=0 tower field (host-side numpy path for the pgen)."""
-        import numpy as np
-        if self.initial_field == 0.0 or self.l_scale <= 0:
-            return u_np
-        x, y, z = mesh.cell_centers_mesh()
-        shape = (mesh.nblocks,) + mesh.block_shape
-        bx, by, bz = self.unit_field(
-            jnp.asarray(np.broadcast_to(x, shape)),
-            jnp.asarray(np.broadcast_to(y, shape)),
-            jnp.asarray(np.broadcast_to(z, shape)), 0.0)
-        u_np[:, IB1] += self.initial_field * np.asarray(bx)
-        u_np[:, IB2] += self.initial_field * np.asarray(by)
-        u_np[:, IB3] += self.initial_field * np.asarray(bz)
-        return u_np
+    # NOTE: the t=0 tower-field injection lives in pgen._init_cons (the
+    # float attribute ``self.initial_field`` holds the field amplitude; a
+    # method of the same name would be shadowed by it).
+
+    def tower_partials(self, u, bt, cell_volume, valid=None):
+        """(linear, quadratic) contributions of one leaf group to the
+        global magnetic-energy quadratic dME = f*linear + f^2*quad
+        (the reference's per-rank reduction, ``hydro_driver.cpp:409-449``).
+        ``valid`` masks out ghost zones; ``cell_volume`` is per-group."""
+        bx_t, by_t, bz_t = bt
+        m = 1.0 if valid is None else valid
+        linear = jnp.sum((u[:, IB1] * bx_t + u[:, IB2] * by_t
+                          + u[:, IB3] * bz_t) * m) * cell_volume
+        quad = 0.5 * jnp.sum((bx_t ** 2 + by_t ** 2 + bz_t ** 2) * m) \
+            * cell_volume
+        return linear, quad
+
+    @staticmethod
+    def scale_from_power(linear, quad, power, beta_dt):
+        """Solve f*linear + f^2*quad = power*beta_dt for the field scale."""
+        target = power * beta_dt
+        disc = jnp.sqrt(jnp.maximum(linear ** 2 + 4 * quad * target, 0.0))
+        return jnp.where(quad > 0,
+                         (-linear + disc) / (2 * jnp.maximum(quad, 1e-300)),
+                         0.0)
+
+    def apply_scaled(self, u, f, bt, mass_rate, beta_dt, t, xb, yb, zb):
+        """Inject dB = f * T(x) (+ Gaussian mass) into one leaf group.
+        ``mass_rate`` may be a traced scalar (AGN-triggered rate)."""
+        bx_t, by_t, bz_t = bt
+        db1, db2, db3 = f * bx_t, f * by_t, f * bz_t
+        u = u.at[:, IEN].add(u[:, IB1] * db1 + u[:, IB2] * db2
+                             + u[:, IB3] * db3
+                             + 0.5 * (db1 ** 2 + db2 ** 2 + db3 ** 2))
+        u = u.at[:, IB1].add(db1)
+        u = u.at[:, IB2].add(db2)
+        u = u.at[:, IB3].add(db3)
+        if self.l_mass_scale > 0.0:
+            rate = jnp.where(mass_rate > 0.0, mass_rate,
+                             self.fixed_mass_rate)
+            norm = jnp.pi ** 1.5 * self.l_mass_scale ** 3
+            drho = beta_dt * self._mass_density(xb, yb, zb, t, rate) / norm
+            u = u.at[:, IDN].add(drho)
+        return u
 
     def power_src_term(self, u, power, mass_rate, beta_dt, t, xb, yb, zb,
-                       cell_volume):
+                       cell_volume, valid=None):
         """Inject dB = f * T(x) with f chosen so the global magnetic-energy
         increase equals power * beta_dt (PowerSrcTerm).  Also injects mass
-        with the Gaussian profile."""
-        bx_t, by_t, bz_t = self.unit_field(xb, yb, zb, t)
+        with the Gaussian profile.  (Single-group convenience; multi-level
+        meshes combine ``tower_partials`` across groups instead.)"""
+        bt = self.unit_field(xb, yb, zb, t)
         if power > 0.0 or self.fixed_field_rate != 0.0:
             if power > 0.0:
-                # dME = f * linear + f^2 * quadratic = power * beta_dt
-                linear = jnp.sum(u[:, IB1] * bx_t + u[:, IB2] * by_t
-                                 + u[:, IB3] * bz_t) * cell_volume
-                quad = 0.5 * jnp.sum(bx_t ** 2 + by_t ** 2 + bz_t ** 2) \
-                    * cell_volume
-                target = power * beta_dt
-                disc = jnp.sqrt(jnp.maximum(linear ** 2 + 4 * quad * target,
-                                            0.0))
-                f = jnp.where(quad > 0, (-linear + disc) / (2 * jnp.maximum(
-                    quad, 1e-300)), 0.0)
+                linear, quad = self.tower_partials(u, bt, cell_volume, valid)
+                f = self.scale_from_power(linear, quad, power, beta_dt)
             else:
                 f = self.fixed_field_rate * beta_dt
-            db1, db2, db3 = f * bx_t, f * by_t, f * bz_t
-            u = u.at[:, IEN].add(u[:, IB1] * db1 + u[:, IB2] * db2
-                                 + u[:, IB3] * db3
-                                 + 0.5 * (db1 ** 2 + db2 ** 2 + db3 ** 2))
-            u = u.at[:, IB1].add(db1)
-            u = u.at[:, IB2].add(db2)
-            u = u.at[:, IB3].add(db3)
-        rate = mass_rate if mass_rate > 0.0 else self.fixed_mass_rate
-        if (rate and self.l_mass_scale > 0.0):
+            return self.apply_scaled(u, f, bt, mass_rate, beta_dt, t,
+                                     xb, yb, zb)
+        if self.l_mass_scale > 0.0:
+            rate = jnp.where(mass_rate > 0.0, mass_rate,
+                             self.fixed_mass_rate)
             norm = jnp.pi ** 1.5 * self.l_mass_scale ** 3
             drho = beta_dt * self._mass_density(xb, yb, zb, t, rate) / norm
             u = u.at[:, IDN].add(drho)

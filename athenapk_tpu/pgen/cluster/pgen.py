@@ -92,17 +92,13 @@ def init_user_mesh_data(pin):
     _pkg(pin)
 
 
-def problem_generator(pin, mesh, cfg, eos):
-    pkg = _pkg(pin)
+def _init_cons(pin, pkg, cfg, xb, yb, zb, min_dx, profile=None):
+    """Cluster initial conserved state on broadcast coordinate arrays
+    ``xb/yb/zb`` of shape [nb, NZ, NY, NX] (shared by the uniform and
+    refined-mesh generators)."""
     gm1 = pkg.gamma - 1.0
     mhd = cfg.fluid == GLMMHD
-    u = np.zeros((mesh.nblocks, cfg.nvar) + mesh.block_shape)
-
-    x, y, z = mesh.cell_centers_mesh()
-    shape = (mesh.nblocks,) + mesh.block_shape
-    xb = np.broadcast_to(x, shape)
-    yb = np.broadcast_to(y, shape)
-    zb = np.broadcast_to(z, shape)
+    u = np.zeros((xb.shape[0], cfg.nvar) + xb.shape[1:])
     r = np.sqrt(xb ** 2 + yb ** 2 + zb ** 2)
 
     ug = "problem/cluster/uniform_gas"
@@ -118,7 +114,6 @@ def problem_generator(pin, mesh, cfg, eos):
         u[:, IM3] = rho * uz
         u[:, IEN] = pres / gm1 + 0.5 * rho * (ux ** 2 + uy ** 2 + uz ** 2)
     else:
-        profile = pkg.hse.profile_for_mesh(mesh)
         p_r = np.interp(r.ravel(), profile.r, profile.p).reshape(r.shape)
         k_r = np.asarray(pkg.entropy.k_from_r(jnp.asarray(r)))
         rho = np.asarray(pkg.hse.rho_from_p_k(p_r, k_r))
@@ -140,7 +135,7 @@ def problem_generator(pin, mesh, cfg, eos):
             my = pin.get_real(db, "my")
             mz = pin.get_real(db, "mz")
             # dipole field from vector potential A = m x r / r^3
-            r3 = np.maximum(r, mesh.min_dx / 2) ** 3
+            r3 = np.maximum(r, min_dx / 2) ** 3
             u[:, IB1] += (3 * xb * (mx * xb + my * yb + mz * zb) / r ** 2
                           - mx) / r3
             u[:, IB2] += (3 * yb * (mx * xb + my * yb + mz * zb) / r ** 2
@@ -148,9 +143,75 @@ def problem_generator(pin, mesh, cfg, eos):
             u[:, IB3] += (3 * zb * (mx * xb + my * yb + mz * zb) / r ** 2
                           - mz) / r3
         # initial magnetic tower (fixed-field injection at t=0)
-        u = pkg.magnetic_tower.initial_field(pin, mesh, u)
+        tw = pkg.magnetic_tower
+        if tw.initial_field != 0.0 and tw.l_scale > 0:
+            bx_t, by_t, bz_t = tw.unit_field(
+                jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(zb), 0.0)
+            u[:, IB1] += tw.initial_field * np.asarray(bx_t)
+            u[:, IB2] += tw.initial_field * np.asarray(by_t)
+            u[:, IB3] += tw.initial_field * np.asarray(bz_t)
         u[:, IEN] += 0.5 * (u[:, IB1] ** 2 + u[:, IB2] ** 2 + u[:, IB3] ** 2)
     return u
+
+
+def problem_generator(pin, mesh, cfg, eos):
+    pkg = _pkg(pin)
+    x, y, z = mesh.cell_centers_mesh()
+    shape = (mesh.nblocks,) + mesh.block_shape
+    xb = np.broadcast_to(x, shape)
+    yb = np.broadcast_to(y, shape)
+    zb = np.broadcast_to(z, shape)
+    profile = None
+    if not pin.get_or_add_bool("problem/cluster/uniform_gas",
+                               "init_uniform_gas", False):
+        profile = pkg.hse.profile_for_mesh(mesh)
+    return _init_cons(pin, pkg, cfg, xb, yb, zb, mesh.min_dx,
+                      profile=profile)
+
+
+def problem_generator_smr(pin, smesh, cfg, eos):
+    """Refined-mesh cluster init: ONE global HSE profile sampled at the
+    finest level's dx (a per-leaf adapter would redo the RK4 profile
+    integration once per leaf), then per-leaf evaluation at each leaf's
+    own cell centers.  Reference: ``cluster.cpp`` ProblemGenerator runs
+    per MeshBlock at any level against the shared PRhoProfile."""
+    import types
+    pkg = _pkg(pin)
+    base = smesh.base
+    profile = None
+    if not pin.get_or_add_bool("problem/cluster/uniform_gas",
+                               "init_uniform_gas", False):
+        fine = types.SimpleNamespace(
+            min_dx=min(smesh.dx(smesh.max_level)),
+            x1min=base.x1min, x1max=base.x1max,
+            x2min=base.x2min, x2max=base.x2max,
+            x3min=base.x3min, x3max=base.x3max)
+        profile = pkg.hse.profile_for_mesh(fine)
+    state = {}
+    bs = base.block_shape
+    for lev, ids in sorted(smesh.level_ids.items()):
+        xs = np.empty((len(ids),) + bs)
+        ys = np.empty_like(xs)
+        zs = np.empty_like(xs)
+        for li, gid in enumerate(ids):
+            x, y, z = smesh.cell_centers_leaf(gid)
+            xs[li] = np.broadcast_to(x, bs)
+            ys[li] = np.broadcast_to(y, bs)
+            zs[li] = np.broadcast_to(z, bs)
+        state[lev] = jnp.asarray(_init_cons(
+            pin, pkg, cfg, xs, ys, zs, min(smesh.dx(lev)), profile=profile))
+    return state
+
+
+def _interior_mask(mesh):
+    """[1, NZ, NY, NX] bool: True on interior cells.  Global reductions
+    (accretion rate, tower energy) must not count ghost copies — a block
+    boundary through the accretion region would otherwise double-count
+    cells (ghosts hold neighbor copies)."""
+    m = np.zeros((1,) + mesh.block_shape, dtype=bool)
+    ks, ke, js, je, is_, ie = mesh.interior
+    m[:, ks:ke + 1, js:je + 1, is_:ie + 1] = True
+    return jnp.asarray(m)
 
 
 def problem_source_unsplit(pin, mesh, cfg, eos):
@@ -166,16 +227,70 @@ def problem_source_unsplit(pin, mesh, cfg, eos):
     gm1 = pkg.gamma - 1.0
     mhd = cfg.fluid == GLMMHD
     pkg.agn_feedback._mesh_cell_volume = mesh.cell_volume
+    valid = _interior_mask(mesh)
 
     def src(u, prim, mesh_, beta_dt, t):
         if pkg.gravity_srcterm:
             u = gravitational_field_source(pkg.gravity, u, prim, mesh_,
                                            beta_dt, xb, yb, zb)
-        u = pkg.agn_feedback.apply(u, prim, beta_dt, t, xb, yb, zb, mhd)
+        u = pkg.agn_feedback.apply(u, prim, beta_dt, t, xb, yb, zb, mhd,
+                                   valid=valid)
         u = pkg.snia_feedback.apply(u, prim, beta_dt, r)
         u = pkg.stellar_feedback.apply(u, prim, beta_dt, r)
         u = _apply_clips(pkg, u, r, gm1, mhd)
         return u
+
+    return src
+
+
+def problem_source_unsplit_smr(pin, smesh, cfg, eos):
+    """Cluster sources on a refined mesh: per-leaf coordinate arrays per
+    level, volume-weighted cross-level global reductions (the scalar
+    ``cell_volume`` of the uniform path is wrong on mixed-level meshes —
+    reference reduces across ranks/levels in ``hydro_driver.cpp:360-449``).
+
+    Returns ``src(state, prims, beta_dt, t) -> state`` over the per-level
+    state dict."""
+    pkg = _pkg(pin)
+    gm1 = pkg.gamma - 1.0
+    mhd = cfg.fluid == GLMMHD
+    valid = _interior_mask(smesh.base)
+
+    coords = {}
+    for lev, ids in sorted(smesh.level_ids.items()):
+        bs = smesh.base.block_shape
+        xs = np.empty((len(ids),) + bs)
+        ys = np.empty_like(xs)
+        zs = np.empty_like(xs)
+        for li, gid in enumerate(ids):
+            x, y, z = smesh.cell_centers_leaf(gid)
+            xs[li] = np.broadcast_to(x, bs)
+            ys[li] = np.broadcast_to(y, bs)
+            zs[li] = np.broadcast_to(z, bs)
+        d1, d2, d3 = smesh.dx(lev)
+        coords[lev] = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs),
+                       d1 * d2 * d3)
+
+    def src(state, prims, beta_dt, t):
+        levs = sorted(state.keys())
+        groups = []
+        for lev in levs:
+            xb, yb, zb, vol = coords[lev]
+            groups.append(dict(u=state[lev], prim=prims[lev],
+                               x=xb, y=yb, z=zb, vol=vol, valid=valid))
+        if pkg.gravity_srcterm:
+            for g in groups:
+                g["u"] = gravitational_field_source(
+                    pkg.gravity, g["u"], g["prim"], None, beta_dt,
+                    g["x"], g["y"], g["z"])
+        new_u = pkg.agn_feedback.apply_groups(groups, beta_dt, t, mhd)
+        out = {}
+        for lev, g, u in zip(levs, groups, new_u):
+            r = jnp.sqrt(g["x"] ** 2 + g["y"] ** 2 + g["z"] ** 2)
+            u = pkg.snia_feedback.apply(u, g["prim"], beta_dt, r)
+            u = pkg.stellar_feedback.apply(u, g["prim"], beta_dt, r)
+            out[lev] = _apply_clips(pkg, u, r, gm1, mhd)
+        return out
 
     return src
 
