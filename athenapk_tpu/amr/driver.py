@@ -172,10 +172,10 @@ class SmrSimulation:
         self.t = restart["t"] if self.is_restart else 0.0
         self.ncycle = restart["ncycle"] if self.is_restart else 0
 
-        # outputs: hst (sum-over-levels reductions) + mixed-level hdf5
-        self.hst_path = None
-        self.hst_dt = -1.0
-        self._hst_next = 0.0
+        # outputs: hst (same HistoryOutput as the uniform driver, with
+        # per-level groups — VERDICT round-2 item 10) + mixed-level hdf5
+        from ..outputs.history import HistoryOutput
+        self._hst = None
         self._hdf5_outs = []   # [(oid, dt, variables, single_prec, next, n)]
         self._rst_outs = []
         for blk in pin.output_blocks():
@@ -183,12 +183,12 @@ class SmrSimulation:
             oid = pin.get_or_add_string(blk, "id",
                                         blk.rsplit("output", 1)[-1])
             if ftype == "hst":
-                self.hst_path = f"{self.problem_id}.out{oid}.hst"
-                self.hst_dt = pin.get_or_add_real(blk, "dt", -1.0)
-                if not self.is_restart:
-                    with open(self.hst_path, "w") as fh:
-                        fh.write("# [1]=time [2]=dt [3]=mass [4]=KE "
-                                 "[5]=total_E\n")
+                self._hst = HistoryOutput(
+                    f"{self.problem_id}.out{oid}.hst", self.cfg.fluid,
+                    pin.get_or_add_real(blk, "dt", -1.0))
+                if self.is_restart:
+                    # resume appends to the existing file
+                    self._hst._wrote_header = True
             elif ftype == "hdf5":
                 self._hdf5_outs.append({
                     "id": oid,
@@ -210,7 +210,8 @@ class SmrSimulation:
                                       trig[:-1]):
                 out["next"] = float(nt)
                 out["count"] = int(cnt)
-            self._hst_next = float(trig[-1][0])
+            if self._hst is not None:
+                self._hst.next_time = float(trig[-1][0])
 
     # ---------------------------------------------------------------- helpers
     def _stepper_now(self):
@@ -218,6 +219,16 @@ class SmrSimulation:
 
     def _smesh_now(self):
         return self.driver.smesh if self.adaptive else self.smesh
+
+    def _level_mesh_like(self, lev):
+        """Per-level mesh proxy for the history reductions."""
+        import types
+        sm = self._smesh_now()
+        b = sm.base
+        d1, d2, d3 = sm.dx(lev)
+        return types.SimpleNamespace(
+            cell_volume=d1 * d2 * d3, interior_slices=b.interior_slices,
+            dx=(d1, d2, d3), min_dx=min(d1, d2, d3), nx2=b.nx2, nx3=b.nx3)
 
     def _reductions(self):
         sm = self._smesh_now()
@@ -234,15 +245,16 @@ class SmrSimulation:
         return mass, ke, etot
 
     def _write_hst(self, dt):
-        if self.hst_path is None:
+        if self._hst is None or not self._hst.due(self.t):
             return
-        if self.hst_dt > 0.0 and self.t < self._hst_next:
-            return
-        self._hst_next = self.t + self.hst_dt
-        mass, ke, etot = self._reductions()
-        with open(self.hst_path, "a") as fh:
-            fh.write(f"{self.t:.14e} {dt:.14e} {mass:.14e} "
-                     f"{ke:.14e} {etot:.14e}\n")
+        from ..eos.adiabatic import cons_to_prim
+        groups = []
+        for lev in sorted(self.state):
+            u = self.state[lev]
+            _, w = cons_to_prim(self.eos, u, self.cfg.fluid,
+                                self.cfg.nscalars)
+            groups.append((u, w, self._level_mesh_like(lev)))
+        self._hst.write_groups(self.t, dt, groups)
 
     def _write_rst(self, force=False):
         if not self._rst_outs:

@@ -162,6 +162,11 @@ class Simulation:
             for out, (nt, cnt) in zip(self.outputs, restart["triggers"]):
                 out.next_time = float(nt)
                 out.count = int(cnt)
+        if self.is_restart:
+            for out in self.outputs:
+                if isinstance(out, HistoryOutput):
+                    # resume appends to the existing .hst (no re-header)
+                    out._wrote_header = True
 
         self._dump_count = {}
 

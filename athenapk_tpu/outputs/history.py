@@ -5,7 +5,15 @@ at ``src/hydro/hydro.cpp:422-441`` and Parthenon's ``.hst`` ASCII writer):
 a CSV-ish text file with a commented header, one row per history dump.
 
 Default columns match AthenaPK's Hydro package history: time, dt, mass,
-1/2/3-mom, KE, total E, (ME, relative divB for MHD).
+1/2/3-mom, KE, total E, (ME, relative divB for MHD).  All reductions run
+over INTERIOR cells only (ghosts hold neighbor copies and must not be
+counted).
+
+Multi-level (SMR/AMR) meshes write through the same machinery: a column
+is either ``(label, fn)`` with ``fn(u, w, mesh) -> scalar`` summed over
+level groups (volume-weighted sums are additive), or
+``(label, partial_fn, finalize)`` where the tuple partials are summed
+across groups before ``finalize`` — used for ratio reductions (relDivB).
 """
 
 from __future__ import annotations
@@ -19,12 +27,19 @@ import numpy as np
 from ..core.indices import (IDN, IM1, IM2, IM3, IEN, IB1, IB2, IB3, GLMMHD)
 
 
+def _interior(q, mesh):
+    """Interior view of a [nb, nz, ny, nx] per-variable array."""
+    sl = mesh.interior_slices
+    return q[tuple([sl[0]] + list(sl[2:]))]
+
+
 def hydro_history_columns(fluid: str):
-    """(label, reduction, fn(prim_or_cons views, mesh) -> scalar) list."""
-    cols: List[Tuple[str, Callable]] = []
+    """Standard Hydro history columns; see module docstring for the
+    column protocol."""
+    cols: List[Tuple] = []
 
     def vol_sum(q, mesh):
-        return jnp.sum(q) * mesh.cell_volume
+        return jnp.sum(_interior(q, mesh)) * mesh.cell_volume
 
     cols.append(("mass", lambda u, w, mesh: vol_sum(u[:, IDN], mesh)))
     cols.append(("1-mom", lambda u, w, mesh: vol_sum(u[:, IM1], mesh)))
@@ -37,14 +52,16 @@ def hydro_history_columns(fluid: str):
     if fluid == GLMMHD:
         cols.append(("ME", lambda u, w, mesh: vol_sum(
             0.5 * (u[:, IB1] ** 2 + u[:, IB2] ** 2 + u[:, IB3] ** 2), mesh)))
-        cols.append(("relDivB", _rel_divb))
+        cols.append(("relDivB", _rel_divb_partial,
+                     lambda p: p[0] / (p[1] + 1e-30)))
     return cols
 
 
-def _rel_divb(u, w, mesh):
-    """Volume-averaged relative divB
-    (cell-centered central differences; ``HydroHst`` at hydro.cpp:145-208)."""
-    import jax.numpy as jnp
+def _rel_divb_partial(u, w, mesh):
+    """(num, den) partials of the volume-averaged relative divB
+    (cell-centered central differences; ``HydroHst`` at hydro.cpp:145-208).
+    Volume-weighted so mixed-level groups combine correctly (the weight
+    cancels on uniform meshes)."""
     from ..solver.hydro_pkg import _AXIS_OF_DIR
 
     b = [u[:, IB1], u[:, IB2], u[:, IB3]]
@@ -55,10 +72,10 @@ def _rel_divb(u, w, mesh):
         ax = _AXIS_OF_DIR[d] - 1  # u[:, var] drops the var axis
         divb = divb + (jnp.roll(b[d - 1], -1, axis=ax)
                        - jnp.roll(b[d - 1], 1, axis=ax)) / (2 * mesh.dx[d - 1])
-    sl = tuple([slice(None)] + list(mesh.interior_slices[2:]))
-    num = jnp.sum(jnp.abs(divb[sl]) * mesh.min_dx)
-    den = jnp.sum(bmag[sl]) + 1e-30  # guard representable under TPU f64 emulation
-    return num / den
+    vol = mesh.cell_volume
+    num = jnp.sum(jnp.abs(_interior(divb, mesh))) * mesh.min_dx * vol
+    den = jnp.sum(_interior(bmag, mesh)) * vol
+    return (num, den)
 
 
 class HistoryOutput:
@@ -73,17 +90,38 @@ class HistoryOutput:
     def due(self, t: float) -> bool:
         return self.dt >= 0.0 and t >= self.next_time
 
+    def _header(self):
+        if self._wrote_header:
+            return
+        os.makedirs(os.path.dirname(self.filename) or ".", exist_ok=True)
+        with open(self.filename, "w") as fh:
+            fh.write("#  History data\n")
+            labels = ["[1]=time", "[2]=dt"] + [
+                f"[{i + 3}]={col[0]}" for i, col in
+                enumerate(self.columns)]
+            fh.write("# " + "  ".join(labels) + "\n")
+        self._wrote_header = True
+
     def write(self, t, dt, u, w, mesh):
-        if not self._wrote_header:
-            os.makedirs(os.path.dirname(self.filename) or ".", exist_ok=True)
-            with open(self.filename, "w") as fh:
-                fh.write("#  History data\n")
-                labels = ["[1]=time", "[2]=dt"] + [
-                    f"[{i + 3}]={label}" for i, (label, _) in
-                    enumerate(self.columns)]
-                fh.write("# " + "  ".join(labels) + "\n")
-            self._wrote_header = True
-        vals = [float(fn(u, w, mesh)) for (_, fn) in self.columns]
+        self.write_groups(t, dt, [(u, w, mesh)])
+
+    def write_groups(self, t, dt, groups):
+        """Write one row from per-level groups [(u, w, mesh_like), ...].
+
+        ``mesh_like`` needs cell_volume / interior_slices / dx / min_dx /
+        nx2 / nx3.  Plain columns are summed across groups; partial
+        columns sum their tuples before finalize."""
+        self._header()
+        vals = []
+        for col in self.columns:
+            fn = col[1]
+            parts = [fn(u, w, m) for (u, w, m) in groups]
+            if len(col) == 3:
+                summed = tuple(sum(p[i] for p in parts)
+                               for i in range(len(parts[0])))
+                vals.append(float(col[2](summed)))
+            else:
+                vals.append(float(sum(parts)))
         with open(self.filename, "a") as fh:
             row = [f"{float(t):.14e}", f"{float(dt):.14e}"] + [
                 f"{v:.14e}" for v in vals]

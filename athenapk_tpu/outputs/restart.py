@@ -107,7 +107,8 @@ def write_restart_smr(fname, sim):
         # hdf5 outs, then rst outs, then the hst trigger last
         trig = [(o["next"], o["count"])
                 for o in sim._hdf5_outs + sim._rst_outs]
-        trig.append((sim._hst_next, 0))
+        trig.append((sim._hst.next_time if sim._hst is not None else 0.0,
+                     0))
         fh.create_dataset("OutputTriggers", data=np.asarray(trig))
 
 

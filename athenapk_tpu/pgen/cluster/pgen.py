@@ -379,13 +379,16 @@ def history_columns(pin, mesh, cfg, eos):
     r_all = jnp.asarray(np.sqrt(np.broadcast_to(
         xh ** 2 + yh ** 2 + zh ** 2, shape_h)))
 
+    valid_h = _interior_mask(mesh)
+
     def _feedback_power(u, w, mesh_):
         fb = pkg.agn_feedback
         if fb.triggering is None:
             mdot = jnp.asarray(0.0)
         else:
             mdot = fb.triggering.accretion_rate(u, w, r_all,
-                                                mesh_.cell_volume)
+                                                mesh_.cell_volume,
+                                                valid=valid_h)
         power, _ = fb.power_and_mass_rate(mdot)
         return jnp.asarray(power)
 

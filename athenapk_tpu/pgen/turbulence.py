@@ -158,20 +158,24 @@ def history_columns(pin, mesh, cfg, eos):
     gamma = pin.get_real("hydro", "gamma")
 
     def _ms(u, w, mesh):
-        v2 = (w[:, 1] ** 2 + w[:, 2] ** 2 + w[:, 3] ** 2)
-        cs2 = gamma * w[:, IPR] / w[:, IDN]
+        wi = w[mesh.interior_slices]
+        v2 = (wi[:, 1] ** 2 + wi[:, 2] ** 2 + wi[:, 3] ** 2)
+        cs2 = gamma * wi[:, IPR] / wi[:, IDN]
         return jnp.sqrt(jnp.mean(v2 / cs2))
 
     cols = [("Ms", _ms)]
     if cfg.fluid == GLMMHD:
         def _ma(u, w, mesh):
-            v2 = (w[:, 1] ** 2 + w[:, 2] ** 2 + w[:, 3] ** 2)
-            va2 = (w[:, IB1] ** 2 + w[:, IB2] ** 2 + w[:, IB3] ** 2) / w[:, IDN]
+            wi = w[mesh.interior_slices]
+            v2 = (wi[:, 1] ** 2 + wi[:, 2] ** 2 + wi[:, 3] ** 2)
+            va2 = (wi[:, IB1] ** 2 + wi[:, IB2] ** 2
+                   + wi[:, IB3] ** 2) / wi[:, IDN]
             return jnp.sqrt(jnp.mean(v2 / jnp.maximum(va2, 1e-30)))
 
         def _beta(u, w, mesh):
-            pb = 0.5 * (w[:, IB1] ** 2 + w[:, IB2] ** 2 + w[:, IB3] ** 2)
-            return jnp.mean(w[:, IPR] / jnp.maximum(pb, 1e-30))
+            wi = w[mesh.interior_slices]
+            pb = 0.5 * (wi[:, IB1] ** 2 + wi[:, IB2] ** 2 + wi[:, IB3] ** 2)
+            return jnp.mean(wi[:, IPR] / jnp.maximum(pb, 1e-30))
 
         cols += [("Ma", _ma), ("plasma_beta", _beta)]
     return cols
