@@ -161,6 +161,29 @@ class SmrSimulation:
             self.state = SmrState(self.smesh, self.cfg.nvar).fill_ghosts(
                 self.state)
 
+        # tracers (per-level swarm buffers; static refinement only, the
+        # reference rejects adaptive too — tracers.cpp:77-79)
+        from ..tracers.smr_tracers import SmrTracers
+        self.tracers = SmrTracers(pin, self.smesh, self.cfg)
+        self.tracer_state = None
+        if self.tracers.enabled:
+            if self.adaptive:
+                raise ValueError("Tracers/swarms currently only supported "
+                                 "on non-adaptive meshes (matches "
+                                 "reference tracers.cpp)")
+            if self.is_restart and "tracers" in restart:
+                tr = restart["tracers"]
+                self.tracer_state = {
+                    "levels": {int(lev): {k: jnp.asarray(v)
+                                          for k, v in st.items()}
+                               for lev, st in tr["levels"].items()},
+                    "n_lost": jnp.asarray(tr["n_lost"], jnp.int32)}
+            else:
+                self.tracer_state = self.tracers.seed()
+                if self.tracer_state is not None:
+                    self.tracer_state = self.tracers.fill(
+                        self.tracer_state, self._prims())
+
         t = "parthenon/time"
         self.tlim = pin.get_real(t, "tlim")
         self.nlim = pin.get_or_add_integer(t, "nlim", -1)
@@ -190,6 +213,18 @@ class SmrSimulation:
                     # resume appends to the existing file
                     self._hst._wrote_header = True
             elif ftype == "hdf5":
+                swarm_vars = {}
+                for sname in pin.get_or_add_string(blk, "swarms",
+                                                   "").split():
+                    sname = sname.strip(",")
+                    if not sname:
+                        continue
+                    if sname != "tracers":
+                        raise ValueError(f"unknown swarm '{sname}' in {blk}")
+                    raw = pin.get_or_add_string(
+                        blk, f"{sname}_variables", "id, x, y, z")
+                    swarm_vars[sname] = [v.strip() for v in
+                                         raw.replace(",", " ").split()]
                 self._hdf5_outs.append({
                     "id": oid,
                     "dt": pin.get_or_add_real(blk, "dt", -1.0),
@@ -198,6 +233,7 @@ class SmrSimulation:
                     "sp": pin.get_or_add_bool(blk,
                                               "single_precision_output",
                                               False),
+                    "swarm_vars": swarm_vars,
                     "next": 0.0, "count": 0})
             elif ftype == "rst":
                 self._rst_outs.append({
@@ -219,6 +255,13 @@ class SmrSimulation:
 
     def _smesh_now(self):
         return self.driver.smesh if self.adaptive else self.smesh
+
+    def _prims(self):
+        """{lev: prim} from the current state (ghost-inclusive)."""
+        from ..eos.adiabatic import cons_to_prim
+        return {lev: cons_to_prim(self.eos, u, self.cfg.fluid,
+                                  self.cfg.nscalars)[1]
+                for lev, u in self.state.items()}
 
     def _level_mesh_like(self, lev):
         """Per-level mesh proxy for the history reductions."""
@@ -294,6 +337,11 @@ class SmrSimulation:
                     _, w = cons_to_prim(self.eos, u, self.cfg.fluid,
                                         self.cfg.nscalars)
                     prims[lev] = w
+            swarms = None
+            if out.get("swarm_vars") and self.tracer_state is not None:
+                from ..tracers.smr_tracers import compact_swarm_smr
+                swarms = {name: compact_swarm_smr(self.tracer_state, vs)
+                          for name, vs in out["swarm_vars"].items()}
             fname = (f"{self.problem_id}.out{out['id']}."
                      f"{out['count']:05d}.phdf")
             out["count"] += 1
@@ -301,7 +349,8 @@ class SmrSimulation:
                            self.ncycle,
                            state=self.state if want_cons else None,
                            prim_state=prims,
-                           single_precision=out["sp"])
+                           single_precision=out["sp"],
+                           swarms=swarms)
 
     def _c_h(self, dt):
         if self.cfg.fluid != "glmmhd":
@@ -353,6 +402,13 @@ class SmrSimulation:
                 self.state = st.step(self.state, dt,
                                      jnp.asarray(self._c_h(dt)),
                                      jnp.asarray(self.t))
+            if self.tracer_state is not None:
+                # advect with last-filled velocities, then resample
+                prims = self._prims()
+                self.tracer_state = self.tracers.advect(
+                    self.tracer_state, prims, dt)
+                self.tracer_state = self.tracers.fill(self.tracer_state,
+                                                      prims)
             self.t += dt
             self.ncycle += 1
             zone_cycles += zones_per_block * sum(

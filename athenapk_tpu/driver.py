@@ -125,7 +125,9 @@ class Simulation:
                 self.tracer_state = {k: jnp.asarray(v) for k, v in
                                      restart["tracers"].items()}
             else:
-                self.tracer_state = self.tracers.seed()
+                self.tracer_state = self.tracers.seed(
+                    user_hook=getattr(self.pgen, "seed_initial_tracers",
+                                      None))
                 if self.tracer_state is not None:
                     _, w0 = self.pkg.cons_to_prim(self.u)
                     self.tracer_state = self.tracers.fill(self.tracer_state,
@@ -153,8 +155,23 @@ class Simulation:
             elif ftype == "hdf5":
                 var = pin.get_or_add_string(blk, "variables", "cons")
                 sp = pin.get_or_add_bool(blk, "single_precision_output", False)
+                # swarm output (reference docs/input.md:353-366):
+                #   swarms = tracers
+                #   tracers_variables = id, x, y, z, rho
+                swarm_vars = {}
+                for sname in pin.get_or_add_string(blk, "swarms", "").split():
+                    sname = sname.strip(",")
+                    if not sname:
+                        continue
+                    if sname != "tracers":
+                        raise ValueError(f"unknown swarm '{sname}' in {blk}")
+                    raw = pin.get_or_add_string(
+                        blk, f"{sname}_variables", "id, x, y, z")
+                    swarm_vars[sname] = [v.strip() for v in
+                                         raw.replace(",", " ").split()]
                 self.outputs.append(_Hdf5Output(
-                    self.base_name, oid, var, dt_out, sp))
+                    self.base_name, oid, var, dt_out, sp,
+                    swarm_vars=swarm_vars, sim=self))
             elif ftype == "rst":
                 self.outputs.append(_RestartOutput(
                     self.base_name, oid, dt_out, self))
@@ -290,12 +307,15 @@ class Simulation:
 
 
 class _Hdf5Output:
-    def __init__(self, base_name, oid, variables, dt, single_precision):
+    def __init__(self, base_name, oid, variables, dt, single_precision,
+                 swarm_vars=None, sim=None):
         self.base_name = base_name
         self.oid = oid
         self.variables = variables
         self.dt = dt
         self.single_precision = single_precision
+        self.swarm_vars = swarm_vars or {}
+        self.sim = sim
         self.next_time = 0.0
         self.count = 0
 
@@ -309,6 +329,11 @@ class _Hdf5Output:
             kw["cons"] = np.asarray(u)
         if "prim" in self.variables:
             kw["prim"] = np.asarray(w)
+        if self.swarm_vars and self.sim is not None and \
+                self.sim.tracer_state is not None:
+            from .tracers import compact_swarm
+            kw["swarms"] = {name: compact_swarm(self.sim.tracer_state, vs)
+                            for name, vs in self.swarm_vars.items()}
         from .core.indices import GLMMHD, NGLMMHD, NHYDRO  # noqa
         fluid = "glmmhd" if u.shape[1] >= NGLMMHD else "euler"
         write_phdf(fname, mesh, fluid, t, dt, self.count,

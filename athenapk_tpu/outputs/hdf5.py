@@ -41,7 +41,11 @@ def write_phdf(filename: str, mesh: Mesh, fluid: str, t, dt, ncycle,
                prim: Optional[np.ndarray] = None,
                single_precision: bool = False,
                extra_params: Optional[dict] = None,
-               write_xdmf: bool = True):
+               write_xdmf: bool = True,
+               swarms: Optional[dict] = None):
+    """``swarms``: {name: {var: np.ndarray[n_active]}} — compacted swarm
+    data written as one HDF5 group per swarm (the reference's
+    ``swarms = tracers`` output-block option, ``docs/input.md:353-366``)."""
     import h5py
 
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
@@ -84,6 +88,16 @@ def write_phdf(filename: str, mesh: Mesh, fluid: str, t, dt, ncycle,
             fh.create_dataset(
                 f"VarNames_{name}",
                 data=np.array([s.encode() for s in names]))
+        if swarms:
+            for sname, fields in swarms.items():
+                g = fh.create_group(sname)
+                for var, data in fields.items():
+                    d = np.asarray(data)
+                    if d.dtype.kind == "f" and single_precision:
+                        d = d.astype(np.float32)
+                    g.create_dataset(var, data=d)
+                g.attrs["NumParticles"] = len(next(iter(fields.values()))) \
+                    if fields else 0
     if write_xdmf:
         _write_xdmf(filename, mesh, fluid, t, cons is not None,
                     prim is not None)
@@ -159,6 +173,12 @@ class PhdfData:
                     self.data[name] = fh[name][()]
                     self.var_names[name] = [
                         s.decode() for s in fh[f"VarNames_{name}"][()]]
+            self.swarms = {}
+            for name in fh:
+                if isinstance(fh[name], h5py.Group) and \
+                        "NumParticles" in fh[name].attrs:
+                    self.swarms[name] = {k: fh[name][k][()]
+                                         for k in fh[name]}
 
     def flat(self, kind: str):
         """Reassemble blocks into one global array [nvar, NZ, NY, NX].
@@ -182,7 +202,8 @@ def write_phdf_smr(filename: str, smesh, fluid: str, t, dt, ncycle,
                    state=None, prim_state=None,
                    single_precision: bool = False,
                    extra_params: Optional[dict] = None,
-                   write_xdmf: bool = True):
+                   write_xdmf: bool = True,
+                   swarms: Optional[dict] = None):
     """Refined-mesh dump: every leaf is a block with its own coordinates
     and level (Parthenon's mixed-level .phdf layout — blocks carry
     per-block Locations plus /Levels and /LogicalLocations).
@@ -255,6 +276,16 @@ def write_phdf_smr(filename: str, smesh, fluid: str, t, dt, ncycle,
             fh.create_dataset(
                 f"VarNames_{name}",
                 data=np.array([s.encode() for s in names]))
+        if swarms:
+            for sname, fields in swarms.items():
+                g = fh.create_group(sname)
+                for var, d in fields.items():
+                    d = np.asarray(d)
+                    if d.dtype.kind == "f" and single_precision:
+                        d = d.astype(np.float32)
+                    g.create_dataset(var, data=d)
+                g.attrs["NumParticles"] = len(next(iter(fields.values()))) \
+                    if fields else 0
     if write_xdmf:
         _write_xdmf_smr(filename, smesh, fluid, t, state is not None,
                         prim_state is not None)

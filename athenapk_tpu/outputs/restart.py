@@ -98,6 +98,14 @@ def write_restart_smr(fname, sim):
             [sm.lx1, sm.lx2, sm.lx3], axis=1).astype(np.int64))
         for lev, u in sim.state.items():
             fh.create_dataset(f"cons_lev{lev}", data=np.asarray(u))
+        if getattr(sim, "tracer_state", None) is not None:
+            g = fh.create_group("Tracers")
+            g.create_dataset("n_lost",
+                             data=np.asarray(sim.tracer_state["n_lost"]))
+            for lev, st in sim.tracer_state["levels"].items():
+                gl = g.create_group(f"lev{lev}")
+                for k, v in st.items():
+                    gl.create_dataset(k, data=np.asarray(v))
         if sim.adaptive:
             counts = {json.dumps(k): v for k, v in
                       sim.driver._deref_counts.items()}
@@ -128,4 +136,11 @@ def read_restart_smr_payload(fh):
         raw = json.loads(fh["DerefCounts"][()].decode())
         payload["deref_counts"] = {tuple(json.loads(k)): v
                                    for k, v in raw.items()}
+    if "Tracers" in fh:
+        g = fh["Tracers"]
+        payload["tracers"] = {
+            "n_lost": g["n_lost"][()],
+            "levels": {int(k.split("lev")[1]): {f: g[k][f][()]
+                                                for f in g[k]}
+                       for k in g if k.startswith("lev")}}
     return payload

@@ -1,1 +1,1 @@
-from .tracers import Tracers  # noqa: F401
+from .tracers import Tracers, compact_swarm  # noqa: F401

@@ -1,20 +1,36 @@
 """Lagrangian tracer particles (reference ``src/tracers/tracers.cpp``).
 
-TPU-native re-design of Parthenon swarms: instead of per-block particle
-containers with MPI migration, all tracers live in flat fixed-capacity
-device arrays ``[n_tracers]`` (static shapes); "block hand-off" is implicit
-because interpolation indexes the global uniform grid directly.  (Under
-multi-chip sharding this becomes a ppermute of ragged fixed-capacity
-buffers — SURVEY §2c "Swarms"; uniform-mesh round-1 keeps them replicated.)
+TPU-native swarm redesign (round 2): tracers live in per-block
+fixed-capacity device buffers ``[nblocks, cap]`` with an ``active`` mask —
+the static-shape analog of Parthenon's per-block swarm containers.
+Interpolation is BLOCK-LOCAL: each tracer reads only its owner block's
+ghost-inclusive array (``LCInterp`` on the block pack, ``tracers.cpp:
+226-231``), so the whole subsystem shards over the block axis exactly
+like the fluid state — no global-grid gather.  Migration between blocks
+is one static-shape stable key-sort over the flattened particle pool
+followed by a masked scatter; under GSPMD the sort lowers to the
+cross-device routing that Parthenon does with swarm MPI communication
+(``hydro_driver.cpp:638-642``).
 
 Capabilities, matching the reference:
-* seeding: ``random_per_block`` with per-block seeded RNG
-  (``SeedInitialTracers``, ``tracers.cpp:95-167``) or a user hook
-* advection: Heun/RK2 with trilinear (cell-centered linear) velocity
-  interpolation, using the last-filled tracer velocity as predictor
-  (``AdvectTracers``, ``tracers.cpp:189-242``)
+* seeding: ``random_per_block`` with gid-seeded RNG streams
+  (``SeedInitialTracers``, ``tracers.cpp:95-167``) or a ``user`` hook
+  (``ProblemSeedInitialTracers``)
+* advection: Heun/RK2 with block-local trilinear (cell-centered linear)
+  velocity interpolation, using the last-filled tracer velocity as the
+  predictor (``AdvectTracers``, ``tracers.cpp:189-242``)
 * field sampling at output time: rho, p, v (,B)
   (``FillTracers``, ``tracers.cpp:249-308``)
+* boundaries: periodic faces wrap; non-periodic faces DEACTIVATE
+  particles that leave the domain (Parthenon's swarm outflow behavior)
+* adaptive meshes are rejected exactly like the reference
+  (``tracers.cpp:77-79``)
+
+Fixed capacity is the TPU tax for static shapes: a block whose incoming
+particle count exceeds ``cap = ceil(num_per_cell * cells_per_block *
+capacity_factor)`` drops the excess and counts it in ``state["n_lost"]``
+(the deck knob ``tracers/capacity_factor``, default 2.0, sizes the
+headroom).
 """
 
 from __future__ import annotations
@@ -36,113 +52,222 @@ class Tracers:
         if mesh.nx3 == 1:
             raise ValueError("tracers currently only supported in 3D "
                              "(matches reference)")
+        if pin.get_or_add_string("parthenon/mesh", "refinement",
+                                 "none") == "adaptive":
+            raise ValueError("Tracers/swarms currently only supported on "
+                             "non-adaptive meshes (matches reference "
+                             "tracers.cpp)")
         self.seed_method = pin.get_or_add_string(
             "tracers", "initial_seed_method", "none")
         self.num_per_cell = pin.get_or_add_real(
             "tracers", "initial_num_tracers_per_cell", 0.0)
         self.rng_seed = pin.get_or_add_integer("tracers", "initial_rng_seed", 0)
+        self.cap_factor = pin.get_or_add_real("tracers", "capacity_factor", 2.0)
+
+        # per-block origins as device arrays (block-local coordinates)
+        nb = mesh.nblocks
+        origins = np.array([mesh.block_origin(b) for b in range(nb)])
+        self._bx0 = jnp.asarray(origins[:, 0])
+        self._by0 = jnp.asarray(origins[:, 1])
+        self._bz0 = jnp.asarray(origins[:, 2])
+
         self._advect = jax.jit(self._advect_impl)
         self._fill = jax.jit(self._fill_impl)
 
     # ------------------------------------------------------------------ seed
-    def seed(self):
-        """Random-per-block seeding with gid-seeded RNG streams."""
+    def _field_names(self):
+        names = ["vel_x", "vel_y", "vel_z", "rho", "pressure"]
+        if self.mhd:
+            names += ["B_x", "B_y", "B_z"]
+        return names
+
+    def seed(self, user_hook=None):
+        """Random-per-block seeding with gid-seeded RNG streams, into
+        per-block fixed-capacity buffers."""
         mesh = self.mesh
         n_cells_per_block = mesh.mbnx1 * mesh.mbnx2 * mesh.mbnx3
         n_per_block = int(n_cells_per_block * self.num_per_cell)
         if self.seed_method == "none":
             return None
+        if self.seed_method == "user":
+            if user_hook is None:
+                raise ValueError("initial_seed_method=user requires the "
+                                 "problem generator to define "
+                                 "seed_initial_tracers")
+            return user_hook(self)
+        if self.seed_method != "random_per_block":
+            raise ValueError(f"Unknown tracer initial_seed_method "
+                             f"'{self.seed_method}'")
         if n_per_block <= 0:
             raise ValueError("initial_num_tracers_per_cell too small")
-        xs, ys, zs, ids = [], [], [], []
-        for b in range(mesh.nblocks):
+        nb = mesh.nblocks
+        cap = max(int(np.ceil(n_per_block * self.cap_factor)), n_per_block)
+        self.cap = cap
+        x = np.zeros((nb, cap))
+        y = np.zeros((nb, cap))
+        z = np.zeros((nb, cap))
+        ids = np.full((nb, cap), -1, np.int32)
+        active = np.zeros((nb, cap), bool)
+        for b in range(nb):
             rng = np.random.default_rng(b + self.rng_seed)
             x0, y0, z0 = mesh.block_origin(b)
-            xs.append(x0 + rng.random(n_per_block) * mesh.mbnx1 * mesh.dx1)
-            ys.append(y0 + rng.random(n_per_block) * mesh.mbnx2 * mesh.dx2)
-            zs.append(z0 + rng.random(n_per_block) * mesh.mbnx3 * mesh.dx3)
-            ids.append(n_per_block * b + np.arange(n_per_block))
-        n = mesh.nblocks * n_per_block
+            x[b, :n_per_block] = x0 + rng.random(n_per_block) * (
+                mesh.mbnx1 * mesh.dx1)
+            y[b, :n_per_block] = y0 + rng.random(n_per_block) * (
+                mesh.mbnx2 * mesh.dx2)
+            z[b, :n_per_block] = z0 + rng.random(n_per_block) * (
+                mesh.mbnx3 * mesh.dx3)
+            ids[b, :n_per_block] = n_per_block * b + np.arange(n_per_block)
+            active[b, :n_per_block] = True
         state = dict(
-            x=jnp.asarray(np.concatenate(xs)),
-            y=jnp.asarray(np.concatenate(ys)),
-            z=jnp.asarray(np.concatenate(zs)),
-            id=jnp.asarray(np.concatenate(ids)),
-            vel_x=jnp.zeros(n), vel_y=jnp.zeros(n), vel_z=jnp.zeros(n),
-            rho=jnp.zeros(n), pressure=jnp.zeros(n),
+            x=jnp.asarray(x), y=jnp.asarray(y), z=jnp.asarray(z),
+            id=jnp.asarray(ids), active=jnp.asarray(active),
+            n_lost=jnp.zeros((), jnp.int32),
         )
-        if self.mhd:
-            state.update(B_x=jnp.zeros(n), B_y=jnp.zeros(n),
-                         B_z=jnp.zeros(n))
+        for name in self._field_names():
+            state[name] = jnp.zeros((nb, cap))
         return state
 
     # ---------------------------------------------------------------- interp
-    def _global_field(self, prim, comp):
-        """Assemble the global interior array [gnz, gny, gnx] for one
-        component from the block-batched state."""
-        mesh = self.mesh
-        sl = mesh.interior_slices
-        q = prim[:, comp][tuple([sl[0]] + list(sl[2:]))]
-        grid = q.reshape(mesh.nb3, mesh.nb2, mesh.nb1,
-                         mesh.mbnx3, mesh.mbnx2, mesh.mbnx1)
-        grid = grid.transpose(0, 3, 1, 4, 2, 5)
-        return grid.reshape(mesh.nx3, mesh.nx2, mesh.nx1)
+    def _interp(self, prim, comp, x, y, z):
+        """Block-local trilinear interpolation among cell centers.
 
-    def _interp(self, field, x, y, z):
-        """Trilinear interpolation among cell centers with periodic wrap
-        (the reference's LCInterp)."""
+        ``x/y/z`` are ``[nb, cap]`` positions owned by block ``b``; the
+        stencil reads the block's ghost-inclusive array only (ghosts are
+        filled every stage, so stencils that cross the block edge see the
+        neighbor copy — same contract as the reference's LCInterp on a
+        ghosted pack)."""
         mesh = self.mesh
-        fx = (x - mesh.x1min) / mesh.dx1 - 0.5
-        fy = (y - mesh.x2min) / mesh.dx2 - 0.5
-        fz = (z - mesh.x3min) / mesh.dx3 - 0.5
-        i0 = jnp.floor(fx).astype(jnp.int32)
-        j0 = jnp.floor(fy).astype(jnp.int32)
-        k0 = jnp.floor(fz).astype(jnp.int32)
-        wx = fx - i0
-        wy = fy - j0
-        wz = fz - k0
-        i0 = jnp.mod(i0, mesh.nx1)
-        j0 = jnp.mod(j0, mesh.nx2)
-        k0 = jnp.mod(k0, mesh.nx3)
-        i1 = jnp.mod(i0 + 1, mesh.nx1)
-        j1 = jnp.mod(j0 + 1, mesh.nx2)
-        k1 = jnp.mod(k0 + 1, mesh.nx3)
+        field = prim[:, comp]                      # [nb, NZ, NY, NX]
+        fx = (x - self._bx0[:, None]) / mesh.dx1 + (mesh.ng1 - 0.5)
+        fy = (y - self._by0[:, None]) / mesh.dx2 + (mesh.ng2 - 0.5)
+        fz = (z - self._bz0[:, None]) / mesh.dx3 + (mesh.ng3 - 0.5)
+        i0f = jnp.floor(fx)
+        j0f = jnp.floor(fy)
+        k0f = jnp.floor(fz)
+        wx = fx - i0f
+        wy = fy - j0f
+        wz = fz - k0f
+        if mesh.nghost == 0:
+            # ghost-free periodic fast path: ONE mesh-spanning block,
+            # cyclic index wrap IS the periodic boundary
+            i0 = jnp.mod(i0f.astype(jnp.int32), mesh.NX)
+            j0 = jnp.mod(j0f.astype(jnp.int32), mesh.NY)
+            k0 = jnp.mod(k0f.astype(jnp.int32), mesh.NZ)
+            i1 = jnp.mod(i0 + 1, mesh.NX)
+            j1 = jnp.mod(j0 + 1, mesh.NY)
+            k1 = jnp.mod(k0 + 1, mesh.NZ)
+        else:
+            i0 = jnp.clip(i0f.astype(jnp.int32), 0, mesh.NX - 2)
+            j0 = jnp.clip(j0f.astype(jnp.int32), 0, mesh.NY - 2)
+            k0 = jnp.clip(k0f.astype(jnp.int32), 0, mesh.NZ - 2)
+            i1 = i0 + 1
+            j1 = j0 + 1
+            k1 = k0 + 1
+        b = jnp.arange(mesh.nblocks, dtype=jnp.int32)[:, None]
         out = 0.0
-        for dk, kk, wk in ((0, k0, 1 - wz), (1, k1, wz)):
-            for dj, jj, wj in ((0, j0, 1 - wy), (1, j1, wy)):
-                for di, ii, wi in ((0, i0, 1 - wx), (1, i1, wx)):
-                    out = out + field[kk, jj, ii] * (wk * wj * wi)
+        for kk, wk in ((k0, 1 - wz), (k1, wz)):
+            for jj, wj in ((j0, 1 - wy), (j1, wy)):
+                for ii, wi in ((i0, 1 - wx), (i1, wx)):
+                    out = out + field[b, kk, jj, ii] * (wk * wj * wi)
         return out
 
     def _wrap(self, x, lo, hi):
         return lo + jnp.mod(x - lo, hi - lo)
 
+    def _apply_domain_bcs(self, state):
+        """Periodic faces wrap positions; non-periodic faces deactivate
+        leavers (Parthenon swarm behavior for outflow-like BCs)."""
+        mesh = self.mesh
+        active = state["active"]
+        lost = jnp.zeros((), jnp.int32)
+        for comp, lo, hi, per in (
+                ("x", mesh.x1min, mesh.x1max, mesh.ix1_bc == "periodic"),
+                ("y", mesh.x2min, mesh.x2max, mesh.ix2_bc == "periodic"),
+                ("z", mesh.x3min, mesh.x3max, mesh.ix3_bc == "periodic")):
+            q = state[comp]
+            if per:
+                state[comp] = self._wrap(q, lo, hi)
+            else:
+                escaped = active & ((q < lo) | (q >= hi))
+                lost = lost + jnp.sum(escaped).astype(jnp.int32)
+                active = active & ~escaped
+        state["active"] = active
+        state["n_lost"] = state["n_lost"] + lost
+        return state
+
+    # --------------------------------------------------------------- migrate
+    def _dest_gid(self, state):
+        """Owner block gid from position (x-fastest block ordering)."""
+        mesh = self.mesh
+        b1 = jnp.clip(jnp.floor((state["x"] - mesh.x1min)
+                                / (mesh.mbnx1 * mesh.dx1)).astype(jnp.int32),
+                      0, mesh.nb1 - 1)
+        b2 = jnp.clip(jnp.floor((state["y"] - mesh.x2min)
+                                / (mesh.mbnx2 * mesh.dx2)).astype(jnp.int32),
+                      0, mesh.nb2 - 1)
+        b3 = jnp.clip(jnp.floor((state["z"] - mesh.x3min)
+                                / (mesh.mbnx3 * mesh.dx3)).astype(jnp.int32),
+                      0, mesh.nb3 - 1)
+        return b1 + mesh.nb1 * (b2 + mesh.nb2 * b3)
+
+    def _migrate(self, state):
+        """Route particles to their owner blocks: stable sort of the
+        flattened pool by destination gid, then scatter into per-block
+        slots.  Inactive particles carry the sentinel key ``nblocks`` and
+        sort to the end; per-block overflow beyond ``cap`` is dropped and
+        counted."""
+        mesh = self.mesh
+        nb = mesh.nblocks
+        if nb == 1:
+            return state
+        cap = state["x"].shape[1]
+        n = nb * cap
+        gid = self._dest_gid(state)
+        key = jnp.where(state["active"], gid, nb).reshape(n).astype(jnp.int32)
+
+        names = ["x", "y", "z", "id", "active"] + self._field_names()
+        flat = [state[k].reshape(n) for k in names]
+        sorted_ops = jax.lax.sort([key] + flat, num_keys=1, is_stable=True)
+        key_s, flat_s = sorted_ops[0], sorted_ops[1:]
+
+        counts = jnp.bincount(key, length=nb + 1)
+        starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                                  jnp.cumsum(counts)[:-1]])
+        slot = jnp.arange(n) - starts[key_s]
+        valid = (key_s < nb) & (slot < cap)
+        dest = jnp.where(valid, key_s * cap + slot, n)  # n = out of range
+
+        out = dict(state)
+        for name, q in zip(names, flat_s):
+            if name == "active":
+                continue
+            out[name] = (jnp.zeros(n, q.dtype).at[dest]
+                         .set(q, mode="drop").reshape(nb, cap))
+        out["active"] = (jnp.zeros(n, bool).at[dest]
+                         .set(valid, mode="drop").reshape(nb, cap))
+        n_overflow = (jnp.sum(key_s < nb) - jnp.sum(valid)).astype(jnp.int32)
+        out["n_lost"] = state["n_lost"] + n_overflow
+        return out
+
     # ---------------------------------------------------------------- advect
     def _advect_impl(self, state, prim, dt):
         """Heun: predictor uses the stored (last-filled) tracer velocity,
-        corrector re-samples at the predicted position."""
-        mesh = self.mesh
-        vx = self._global_field(prim, IV1)
-        vy = self._global_field(prim, IV2)
-        vz = self._global_field(prim, IV3)
+        corrector re-samples at the predicted position; then domain BCs
+        and block migration."""
         x, y, z = state["x"], state["y"], state["z"]
         x_s = x + dt * state["vel_x"]
         y_s = y + dt * state["vel_y"]
         z_s = z + dt * state["vel_z"]
-        x_s = self._wrap(x_s, mesh.x1min, mesh.x1max)
-        y_s = self._wrap(y_s, mesh.x2min, mesh.x2max)
-        z_s = self._wrap(z_s, mesh.x3min, mesh.x3max)
-        vx_s = self._interp(vx, x_s, y_s, z_s)
-        vy_s = self._interp(vy, x_s, y_s, z_s)
-        vz_s = self._interp(vz, x_s, y_s, z_s)
+        vx_s = self._interp(prim, IV1, x_s, y_s, z_s)
+        vy_s = self._interp(prim, IV2, x_s, y_s, z_s)
+        vz_s = self._interp(prim, IV3, x_s, y_s, z_s)
         state = dict(state)
-        state["x"] = self._wrap(x + dt * 0.5 * (state["vel_x"] + vx_s),
-                                mesh.x1min, mesh.x1max)
-        state["y"] = self._wrap(y + dt * 0.5 * (state["vel_y"] + vy_s),
-                                mesh.x2min, mesh.x2max)
-        state["z"] = self._wrap(z + dt * 0.5 * (state["vel_z"] + vz_s),
-                                mesh.x3min, mesh.x3max)
-        return state
+        state["x"] = x + dt * 0.5 * (state["vel_x"] + vx_s)
+        state["y"] = y + dt * 0.5 * (state["vel_y"] + vy_s)
+        state["z"] = z + dt * 0.5 * (state["vel_z"] + vz_s)
+        state = self._apply_domain_bcs(state)
+        return self._migrate(state)
 
     def advect(self, state, prim, dt):
         if state is None:
@@ -156,11 +281,24 @@ class Tracers:
             comps.update(B_x=IB1, B_y=IB2, B_z=IB3)
         state = dict(state)
         x, y, z = state["x"], state["y"], state["z"]
+        act = state["active"]
         for name, c in comps.items():
-            state[name] = self._interp(self._global_field(prim, c), x, y, z)
+            state[name] = jnp.where(act, self._interp(prim, c, x, y, z), 0.0)
         return state
 
     def fill(self, state, prim):
         if state is None:
             return None
         return self._fill(state, prim)
+
+
+def compact_swarm(state, variables):
+    """Host-side compaction of active particles for output: returns
+    {name: np.ndarray[n_active]} in (block, slot) order."""
+    active = np.asarray(state["active"]).reshape(-1)
+    out = {}
+    for name in variables:
+        if name not in state:
+            raise KeyError(f"unknown tracer variable '{name}'")
+        out[name] = np.asarray(state[name]).reshape(-1)[active]
+    return out
