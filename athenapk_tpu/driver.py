@@ -116,9 +116,14 @@ class Simulation:
         self.u = u
         self.tm_dt = None  # set by _estimate
 
-        # tracers (swarm analog)
+        # tracers (swarm analog); pgen may add per-particle fields
+        # (ProblemInitTracerData analog) and a per-cycle fill hook
         from .tracers import Tracers
-        self.tracers = Tracers(pin, self.mesh, self.cfg)
+        extra = getattr(self.pgen, "tracer_extra_fields", None)
+        self.tracers = Tracers(pin, self.mesh, self.cfg,
+                               extra_fields=extra(pin) if extra else None)
+        self._fill_tracers_hook = getattr(self.pgen, "problem_fill_tracers",
+                                          None)
         self.tracer_state = None
         if self.tracers.enabled:
             if self.is_restart and "tracers" in restart:
@@ -221,6 +226,14 @@ class Simulation:
             # resumed run must take the same first dt as the continuous run
             dt = min(2.0 * self._restart_dt, dt)
         self.tm_dt = dt
+        if self.tracer_state is not None \
+                and self._fill_tracers_hook is not None \
+                and not self.is_restart:
+            # initial fill of problem tracer fields (the reference calls
+            # ProblemFillTracers right after seeding, tracers.cpp:184-186)
+            self.tracer_state = self._fill_tracers_hook(
+                self.pin, self.mesh, self.cfg, self.tracer_state,
+                self.ncycle, self.t, dt)
         self._do_outputs()
 
         zones = self.mesh.nx1 * self.mesh.nx2 * self.mesh.nx3
@@ -266,6 +279,11 @@ class Simulation:
                                                       w_now)
             self.t += dt_eff
             self.ncycle += 1
+            if self.tracer_state is not None \
+                    and self._fill_tracers_hook is not None:
+                self.tracer_state = self._fill_tracers_hook(
+                    self.pin, self.mesh, self.cfg, self.tracer_state,
+                    self.ncycle, self.t, dt_eff)
             if perf_start is not None:
                 perf_cycles += 1
             self.tm_dt = dt_eff

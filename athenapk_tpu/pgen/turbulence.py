@@ -152,6 +152,81 @@ def problem_source_first_order(pin, mesh, cfg, eos):
     return driving
 
 
+N_LOOKBACK = 12
+
+
+def tracer_extra_fields(pin):
+    """Per-tracer lookback vectors s=log(rho) and sdot (the reference's
+    ProblemInitTracerData, ``turbulence.cpp:200-219``)."""
+    return {"s": (N_LOOKBACK,), "sdot": (N_LOOKBACK,)}
+
+
+def problem_fill_tracers(pin, mesh, cfg, state, ncycle, time, dt):
+    """Update tracer lookback entries and append the mean-correlation row
+    to ``correlations.csv`` (``ProblemFillTracers``,
+    ``turbulence.cpp:513-650``).
+
+    Lookback slot ``idx`` (1..L-1) inherits slot ``idx-1`` every
+    ``2^(idx-1)`` cycles, so the vector spans 1..2^(L-2) cycles of
+    history; slot 0 is the current cycle.  Correlations are means over
+    all active tracers of s[0]*s[idx] and sdot[0]*sdot[idx]."""
+    L = N_LOOKBACK
+    state = dict(state)
+    if "t_lookback" not in state:
+        state["t_lookback"] = jnp.zeros(L)
+
+    mask_np = np.zeros(L, bool)
+    for idx in range(1, L):
+        if ncycle % (1 << (idx - 1)) == 0:
+            mask_np[idx] = True
+    tlb = np.asarray(state["t_lookback"])
+    tlb = np.where(mask_np, np.concatenate([tlb[:1], tlb[:-1]]), tlb)
+    tlb[0] = time
+    state["t_lookback"] = jnp.asarray(tlb)
+
+    mask = jnp.asarray(mask_np)
+
+    def shift(a):
+        return jnp.where(mask,
+                         jnp.concatenate([a[..., :1], a[..., :-1]], -1), a)
+
+    s = shift(state["s"])
+    sdot = shift(state["sdot"])
+    act = state["active"]
+    s0 = jnp.where(act, jnp.log(jnp.maximum(state["rho"], 1e-30)), 0.0)
+    inv_dt = 1.0 / dt if dt > 0.0 else 0.0
+    sdot0 = jnp.where(act, (s0 - s[..., 1]) * inv_dt, 0.0)
+    s = s.at[..., 0].set(s0)
+    sdot = sdot.at[..., 0].set(sdot0)
+    state["s"], state["sdot"] = s, sdot
+
+    # mean correlations over active tracers (the reference's atomic sums
+    # + MPI reduce collapse to one masked jnp.sum here)
+    n_act = jnp.maximum(jnp.sum(act), 1)
+    aw = act[..., None]
+    corr_s = jnp.sum(jnp.where(aw, s[..., :1] * s, 0.0), axis=(0, 1)) / n_act
+    corr_sdot = jnp.sum(jnp.where(aw, sdot[..., :1] * sdot, 0.0),
+                        axis=(0, 1)) / n_act
+    mean_s = jnp.sum(s0) / n_act
+    mean_sdot = jnp.sum(sdot0) / n_act
+
+    fname = "correlations.csv"
+    mode = "w" if ncycle == 0 else "a"
+    with open(fname, mode) as fh:
+        if ncycle == 0:
+            cols = ["cycle", "time", "s", "sdot"]
+            for var in ("corr_s", "corr_sdot", "t_lookback"):
+                cols += [f"{var}[{i}]" for i in range(L)]
+            fh.write("# " + ", ".join(cols) + "\n")
+        row = [str(ncycle), repr(float(time)), repr(float(mean_s)),
+               repr(float(mean_sdot))]
+        row += [repr(float(v)) for v in np.asarray(corr_s)]
+        row += [repr(float(v)) for v in np.asarray(corr_sdot)]
+        row += [repr(float(v)) for v in tlb]
+        fh.write(",".join(row) + "\n")
+    return state
+
+
 def history_columns(pin, mesh, cfg, eos):
     """Turbulence history: Ms, Ma, plasma beta (``TurbulenceHst``,
     ``turbulence.cpp:48-101``) — volume-weighted RMS values."""

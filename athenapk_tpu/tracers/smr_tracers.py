@@ -298,5 +298,6 @@ def compact_swarm_smr(state, variables):
         for v in variables:
             if v not in st:
                 raise KeyError(f"unknown tracer variable '{v}'")
-            out[v].append(np.asarray(st[v]).reshape(-1)[act])
+            q = np.asarray(st[v])
+            out[v].append(q.reshape((act.size,) + q.shape[2:])[act])
     return {v: np.concatenate(parts) for v, parts in out.items()}

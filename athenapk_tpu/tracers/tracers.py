@@ -42,8 +42,14 @@ import numpy as np
 from ..core.indices import IDN, IV1, IV2, IV3, IPR, IB1, IB2, IB3, GLMMHD
 
 
+def particle_fields(state):
+    """Names of per-particle entries ([nblocks, cap, ...]); skips scalar
+    bookkeeping (n_lost) and any non-particle auxiliary entries."""
+    return [k for k, v in state.items() if jnp.ndim(v) >= 2]
+
+
 class Tracers:
-    def __init__(self, pin, mesh, cfg):
+    def __init__(self, pin, mesh, cfg, extra_fields=None):
         self.enabled = pin.get_or_add_bool("tracers", "enabled", False)
         self.mesh = mesh
         self.mhd = cfg.fluid == GLMMHD
@@ -63,6 +69,10 @@ class Tracers:
             "tracers", "initial_num_tracers_per_cell", 0.0)
         self.rng_seed = pin.get_or_add_integer("tracers", "initial_rng_seed", 0)
         self.cap_factor = pin.get_or_add_real("tracers", "capacity_factor", 2.0)
+        # problem-specific per-particle fields: {name: trailing shape}
+        # (the reference's ProblemInitTracerData/AddSwarmValue hook, e.g.
+        # turbulence's n_lookback vectors — turbulence.cpp:200-219)
+        self.extra_fields = dict(extra_fields or {})
 
         # per-block origins as device arrays (block-local coordinates)
         nb = mesh.nblocks
@@ -126,6 +136,8 @@ class Tracers:
         )
         for name in self._field_names():
             state[name] = jnp.zeros((nb, cap))
+        for name, trailing in self.extra_fields.items():
+            state[name] = jnp.zeros((nb, cap) + tuple(trailing))
         return state
 
     # ---------------------------------------------------------------- interp
@@ -226,11 +238,10 @@ class Tracers:
         gid = self._dest_gid(state)
         key = jnp.where(state["active"], gid, nb).reshape(n).astype(jnp.int32)
 
-        names = ["x", "y", "z", "id", "active"] + self._field_names()
-        flat = [state[k].reshape(n) for k in names]
-        sorted_ops = jax.lax.sort([key] + flat, num_keys=1, is_stable=True)
-        key_s, flat_s = sorted_ops[0], sorted_ops[1:]
-
+        # sort a permutation, then gather every particle field through it
+        # (fields may carry trailing dims, e.g. lookback vectors)
+        key_s, perm = jax.lax.sort([key, jnp.arange(n, dtype=jnp.int32)],
+                                   num_keys=1, is_stable=True)
         counts = jnp.bincount(key, length=nb + 1)
         starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
                                   jnp.cumsum(counts)[:-1]])
@@ -239,13 +250,13 @@ class Tracers:
         dest = jnp.where(valid, key_s * cap + slot, n)  # n = out of range
 
         out = dict(state)
-        for name, q in zip(names, flat_s):
+        for name in particle_fields(state):
+            q = state[name].reshape((n,) + state[name].shape[2:])[perm]
             if name == "active":
-                continue
-            out[name] = (jnp.zeros(n, q.dtype).at[dest]
-                         .set(q, mode="drop").reshape(nb, cap))
-        out["active"] = (jnp.zeros(n, bool).at[dest]
-                         .set(valid, mode="drop").reshape(nb, cap))
+                q = valid
+            out[name] = (jnp.zeros(q.shape, q.dtype).at[dest]
+                         .set(q, mode="drop")
+                         .reshape((nb, cap) + q.shape[1:]))
         n_overflow = (jnp.sum(key_s < nb) - jnp.sum(valid)).astype(jnp.int32)
         out["n_lost"] = state["n_lost"] + n_overflow
         return out
@@ -300,5 +311,6 @@ def compact_swarm(state, variables):
     for name in variables:
         if name not in state:
             raise KeyError(f"unknown tracer variable '{name}'")
-        out[name] = np.asarray(state[name]).reshape(-1)[active]
+        q = np.asarray(state[name])
+        out[name] = q.reshape((active.size,) + q.shape[2:])[active]
     return out

@@ -338,3 +338,100 @@ id = restart
                     err_msg=f"lev{lev}/{k}")
     finally:
         os.chdir(cwd)
+
+
+TURB_DECK = """
+<job>
+problem_id = turbulence
+
+<problem/turbulence>
+rho0 = 1.0
+p0 = 1.0
+kpeak = 2.0
+corr_time = 0.5
+rseed = 1234
+sol_weight = 1.0
+accel_rms = 0.5
+num_modes = 2
+
+<modes>
+k_1_0 = 2
+k_1_1 = 0
+k_1_2 = 0
+k_2_0 = 1
+k_2_1 = 1
+k_2_2 = 0
+
+<parthenon/mesh>
+nghost = 2
+nx1 = 16
+x1min = 0.0
+x1max = 1.0
+nx2 = 16
+x2min = 0.0
+x2max = 1.0
+nx3 = 16
+x3min = 0.0
+x3max = 1.0
+
+<parthenon/meshblock>
+nx1 = 8
+nx2 = 8
+nx3 = 8
+
+<parthenon/time>
+integrator = rk2
+cfl = 0.3
+tlim = 100.0
+nlim = 4
+ncycle_out = 0
+
+<hydro>
+fluid = euler
+eos = adiabatic
+riemann = hlle
+reconstruction = plm
+gamma = 1.666666666666667
+
+<tracers>
+enabled = true
+initial_seed_method = random_per_block
+initial_num_tracers_per_cell = 0.05
+initial_rng_seed = 7
+"""
+
+
+def test_turbulence_tracer_correlations(tmp_path):
+    """Turbulence problem tracer fields (s=log rho lookback vectors +
+    correlations.csv) — the reference's ProblemFillTracers
+    (turbulence.cpp:513-650)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        pin = ParameterInput.from_string(TURB_DECK)
+        sim = Simulation(pin, quiet=True)
+        sim.run()
+        st = sim.tracer_state
+        act = np.asarray(st["active"])
+        s = np.asarray(st["s"])
+        rho = np.asarray(st["rho"])
+        # slot 0 is the current log(rho)
+        np.testing.assert_allclose(s[..., 0][act], np.log(rho[act]),
+                                   rtol=1e-12)
+        # cadence: slot 1 shifts every cycle, so after the last fill it
+        # holds the previous cycle's s0 (nonzero once turbulence stirs)
+        assert np.asarray(st["t_lookback"])[0] == sim.t
+        with open("correlations.csv") as fh:
+            lines = fh.readlines()
+        assert lines[0].startswith("# cycle, time, s, sdot")
+        # one row per fill: cycles 0..nlim
+        assert len(lines) == 1 + 4 + 1
+        last = np.array(lines[-1].split(","), dtype=float)
+        n_act = act.sum()
+        np.testing.assert_allclose(last[2], s[..., 0][act].sum() / n_act,
+                                   rtol=1e-12)
+        # corr_s[0] = <s0*s0>
+        np.testing.assert_allclose(
+            last[4], (s[..., 0][act] ** 2).sum() / n_act, rtol=1e-12)
+    finally:
+        os.chdir(cwd)
