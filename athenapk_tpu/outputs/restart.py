@@ -40,7 +40,7 @@ def write_restart(fname, sim):
                 g.create_dataset(k, data=np.asarray(v))
         # OU forcing state (turbulence)
         from ..pgen import turbulence as _turb
-        fm = _turb._driver_cache.get(id(sim.pin))
+        fm = _turb._driver_cache.get(sim.pin)
         if fm is not None:
             g = fh.create_group("FewModesFT")
             var_hat, rng_state = fm.get_state()

@@ -14,7 +14,9 @@ from ..core.indices import (IDN, IM2, IEN, IB1, IB2, IB3, NHYDRO, NGLMMHD,
                             GLMMHD)
 from ..utils.units import Units, mean_molecular_weights
 
-_cache = {}
+import weakref
+
+_cache = weakref.WeakKeyDictionary()
 
 
 class _CloudParams:
@@ -63,10 +65,9 @@ class _CloudParams:
 
 
 def _params(pin):
-    key = id(pin)
-    if key not in _cache:
-        _cache[key] = _CloudParams(pin)
-    return _cache[key]
+    if pin not in _cache:
+        _cache[pin] = _CloudParams(pin)
+    return _cache[pin]
 
 
 def init_user_mesh_data(pin):
@@ -122,6 +123,32 @@ def register_boundary_conditions(pin, mesh, cfg, eos):
             (1, 1, 1, cfg.nvar, 1, 1, 1))
         ghost = layer[ghost_slice]
         return layer.at[ghost_slice].set(
+            jnp.broadcast_to(wind, ghost.shape))
+
+    return {"cloud_inflow_x2": inflow}
+
+
+def register_boundary_conditions_smr(pin, smesh, cfg, eos):
+    """cloud_inflow_x2 on refined meshes: same fixed wind state, applied
+    to the per-level batched leaf arrays (``InflowWindX2``, cloud.cpp;
+    the reference runs the cloud deck with refinement=adaptive)."""
+    cp = _params(pin)
+    mhd = cfg.fluid == GLMMHD
+
+    vals = [0.0] * cfg.nvar
+    vals[IDN] = cp.rho_wind
+    vals[IM2] = cp.mom_wind
+    e = cp.rhoe_wind + 0.5 * cp.mom_wind ** 2 / cp.rho_wind
+    if mhd:
+        vals[IB1], vals[IB2], vals[IB3] = cp.Bx, cp.By, cp.Bz
+        e += 0.5 * (cp.Bx ** 2 + cp.By ** 2 + cp.Bz ** 2)
+    vals[IEN] = e
+
+    def inflow(u, didx, gsl, lev, axis, lo):
+        wind = jnp.asarray(vals, dtype=u.dtype).reshape(
+            (1, cfg.nvar, 1, 1, 1))
+        ghost = u[didx][(slice(None),) + gsl]
+        return u.at[(didx,) + gsl].set(
             jnp.broadcast_to(wind, ghost.shape))
 
     return {"cloud_inflow_x2": inflow}

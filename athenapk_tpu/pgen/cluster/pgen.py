@@ -22,7 +22,9 @@ from .entropy_profiles import ACCEPTEntropyProfile
 from .gravity import ClusterGravity, gravitational_field_source
 from .hse import HydrostaticEquilibriumSphere
 
-_cache = {}
+import weakref
+
+_cache = weakref.WeakKeyDictionary()
 
 
 class _ClusterPkg:
@@ -78,10 +80,9 @@ class _ClusterPkg:
 
 
 def _pkg(pin):
-    key = id(pin)
-    if key not in _cache:
-        _cache[key] = _ClusterPkg(pin)
-    return _cache[key]
+    if pin not in _cache:
+        _cache[pin] = _ClusterPkg(pin)
+    return _cache[pin]
 
 
 def register_defaults(pin):

@@ -10,7 +10,9 @@ import numpy as np
 
 from ..core.indices import IDN, IM1, IM2, IM3, IEN, IB1, IB2, IB3, IPS
 
-_cache = {}
+import weakref
+
+_cache = weakref.WeakKeyDictionary()
 
 
 class _CpawGeom:
@@ -64,10 +66,9 @@ class _CpawGeom:
 
 
 def _geom(pin):
-    key = id(pin)
-    if key not in _cache:
-        _cache[key] = _CpawGeom(pin)
-    return _cache[key]
+    if pin not in _cache:
+        _cache[pin] = _CpawGeom(pin)
+    return _cache[pin]
 
 
 def _vector_potential(g, x1, x2, x3):

@@ -10,14 +10,17 @@ import numpy as np
 from ..core.indices import IDN, IM1, IM2, IM3, IEN
 from ._linwave_common import WaveGeometry, write_errors_file
 
-_geometry_cache = {}
+import weakref
+
+_geometry_cache = weakref.WeakKeyDictionary()
 
 
 def _geom(pin):
-    key = id(pin)
-    if key not in _geometry_cache:
-        _geometry_cache[key] = WaveGeometry(pin, mhd=False)
-    return _geometry_cache[key]
+    # keyed by the live pin object (WeakKeyDictionary): id()-based keys
+    # collide when a freed ParameterInput's address is reused
+    if pin not in _geometry_cache:
+        _geometry_cache[pin] = WaveGeometry(pin, mhd=False)
+    return _geometry_cache[pin]
 
 
 def init_user_mesh_data(pin):

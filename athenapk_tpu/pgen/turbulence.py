@@ -22,7 +22,9 @@ from ..core.indices import (IDN, IM1, IM2, IM3, IEN, IB1, IB2, IB3, IPR,
                             GLMMHD)
 from ..utils.few_modes_ft import FewModesFT
 
-_driver_cache = {}
+import weakref
+
+_driver_cache = weakref.WeakKeyDictionary()
 
 
 def _parse_modes(pin):
@@ -35,7 +37,7 @@ def _parse_modes(pin):
 
 
 def _fmft(pin, mesh):
-    key = id(pin)
+    key = pin
     if key not in _driver_cache:
         p = "problem/turbulence"
         num_modes, k_vec = _parse_modes(pin)
