@@ -99,6 +99,20 @@ class SmrSimulation:
         hook = getattr(self.pgen, "init_user_mesh_data", None)
         if hook is not None:
             hook(pin)
+        # problem-registered custom BCs on the refined mesh (cloud
+        # inflow; the uniform path's registry analog) and the
+        # ProblemCheckRefinementBlock hook (reference main.cpp:76-77)
+        bc_hook = getattr(self.pgen, "register_boundary_conditions_smr",
+                          None)
+        self._custom_bcs = (bc_hook(pin, self.smesh, self.cfg, self.eos)
+                            if bc_hook is not None else None)
+        pc_hook = getattr(self.pgen, "check_refinement_block", None)
+        problem_check = None
+        if pc_hook is not None:
+            _pin, _cfg, _eos = pin, self.cfg, self.eos
+            problem_check = lambda prim, base: pc_hook(  # noqa: E731
+                _pin, base, _cfg, _eos, prim)
+        self._problem_check = problem_check
 
         # diffusion + tabular cooling (mirrors the uniform driver)
         from ..diffusion import DiffusionConfig
@@ -136,14 +150,17 @@ class SmrSimulation:
                 derefine_count=pin.get_or_add_integer(
                     "parthenon/mesh", "derefine_count", 10),
                 cooling=cooling, diffusion=diffusion,
-                problem_source_factory=src_factory)
+                problem_source_factory=src_factory,
+                custom_bcs=self._custom_bcs,
+                problem_check=self._problem_check)
         else:
             self.driver = None
             self.stepper = SmrHydro(
                 self.smesh, self.cfg, self.eos, cooling=cooling,
                 diffusion=diffusion,
                 problem_source_unsplit=(src_factory(self.smesh)
-                                        if src_factory else None))
+                                        if src_factory else None),
+                custom_bcs=self._custom_bcs)
 
         if self.is_restart:
             # ghost-inclusive saved state: bit-exact resume, no refill
@@ -152,14 +169,21 @@ class SmrSimulation:
             if self.adaptive and "deref_counts" in restart:
                 self.driver._deref_counts = dict(restart["deref_counts"])
         else:
-            gen_smr = getattr(self.pgen, "problem_generator_smr", None)
-            if gen_smr is not None:
-                self.state = gen_smr(pin, self.smesh, self.cfg, self.eos)
-            else:
-                self.state = init_state_from_pgen(self.smesh, self.pgen,
-                                                  pin, self.cfg, self.eos)
-            self.state = SmrState(self.smesh, self.cfg.nvar).fill_ghosts(
-                self.state)
+            self.state = self._generate_state()
+            if self.adaptive:
+                # Parthenon's Mesh::Initialize loop: iterate (tag ->
+                # remesh -> REGENERATE the problem on the new topology)
+                # until the initial grid converges — initial data is
+                # re-evaluated at each leaf's own resolution, never
+                # prolongated (prolongation of sharp ICs, e.g. the cloud
+                # edge, can produce negative pressure).
+                for _ in range(max_level + 1):
+                    _, changed = self.driver.maybe_remesh(self.state)
+                    if not changed:
+                        break
+                    self.smesh = self.driver.smesh
+                    self.state = self._generate_state()
+                self.driver._deref_counts = {}
 
         # tracers (per-level swarm buffers; static refinement only, the
         # reference rejects adaptive too — tracers.cpp:77-79)
@@ -250,6 +274,19 @@ class SmrSimulation:
                 self._hst.next_time = float(trig[-1][0])
 
     # ---------------------------------------------------------------- helpers
+    def _generate_state(self):
+        """Fresh problem-generator state on the CURRENT mesh topology,
+        ghost-filled."""
+        sm = self._smesh_now()
+        gen_smr = getattr(self.pgen, "problem_generator_smr", None)
+        if gen_smr is not None:
+            state = gen_smr(self.pin, sm, self.cfg, self.eos)
+        else:
+            state = init_state_from_pgen(sm, self.pgen, self.pin,
+                                         self.cfg, self.eos)
+        return SmrState(sm, self.cfg.nvar,
+                        custom_bcs=self._custom_bcs).fill_ghosts(state)
+
     def _stepper_now(self):
         return self.driver._stepper if self.adaptive else self.stepper
 

@@ -24,8 +24,9 @@ reference, where they reallocate MeshBlocks); the per-level batched
 arrays change shape, so the jitted step functions retrace per mesh
 "shape signature".  ``AmrHydro`` caches steppers by signature — a blast
 wave that plateaus at a few distinct leaf-count configurations pays a
-handful of compiles.  Transfers here are host-side numpy; a device-side
-batched gather is a planned optimization.
+handful of compiles.  Block-data transfers run ON DEVICE as batched
+gathers grouped by (kind, octant): only the transfer-map indices are
+computed host-side; the data never round-trips through host numpy.
 """
 
 from __future__ import annotations
@@ -41,17 +42,32 @@ from .smr import SmrMesh, SmrState
 from .smr_hydro import SmrHydro
 
 
-def remesh(smesh: SmrMesh, state, tags):
+def _edge_pad(interior, g):
+    """Edge-replicate the interior into the ghost shell (device-side):
+    face ghosts are refilled by fill_ghosts; corner/edge ghosts are
+    never read by the dimension-split hyperbolic update but must hold
+    valid (non-zero-density) states."""
+    return jnp.pad(interior, ((0, 0), (0, 0), (g, g), (g, g), (g, g)),
+                   mode="edge")
+
+
+def remesh(smesh: SmrMesh, state, tags, custom_bcs=None):
     """Apply per-leaf AMR tags; -> (new SmrMesh, transferred state).
 
     ``state``: {level: [nb_lev, nvar, NZ, NY, NX]} with valid interiors.
     ``tags``: int array over GLOBAL leaf ids (+1 refine / 0 / -1 derefine).
     Ghosts of the returned state are refilled.
+
+    Transfers are batched device gathers grouped by kind (and by octant
+    for prolong/restrict), so a remesh costs O(levels * 9) device ops
+    rather than O(leaves) host copies.
     """
     base = smesh.base
     g = base.nghost
     nz, ny, nx = base.mbnx3, base.mbnx2, base.mbnx1
     hz, hy, hx = nz // 2, ny // 2, nx // 2
+    isl = (slice(None), slice(None), slice(g, g + nz), slice(g, g + ny),
+           slice(g, g + nx))
 
     # snapshot old table before the forest mutates
     old_by_loc = dict(smesh._by_loc)
@@ -59,69 +75,76 @@ def remesh(smesh: SmrMesh, state, tags):
     for lev, ids in smesh.level_ids.items():
         for li, gid in enumerate(ids):
             old_loc_of[gid] = (lev, li)
-    old_np = {lev: np.asarray(state[lev]) for lev in state}
-    nvar = next(iter(old_np.values())).shape[1]
+    old = dict(state)
+    nvar = next(iter(old.values())).shape[1]
+    dtype = next(iter(old.values())).dtype
 
     kind, old_id, octant = smesh.forest.update(
         np.ascontiguousarray(tags, np.int32))
     new_sm = SmrMesh.from_forest(base, smesh.forest)
 
-    def old_block(gid):
-        lev, li = old_loc_of[gid]
-        return old_np[lev][li]
-
     new_state = {}
     for lev, ids in new_sm.level_ids.items():
-        out = np.zeros((len(ids), nvar) + base.block_shape,
-                       dtype=next(iter(old_np.values())).dtype)
+        out = jnp.zeros((len(ids), nvar) + base.block_shape, dtype)
+        # ---- group the transfer map by kind / octant (host, indices only)
+        copy_dst, copy_src = [], []
+        pro = {oc: ([], []) for oc in range(8)}   # octant -> (dst, src)
+        res_dst = []
+        res_kids = {oc: [] for oc in range(8)}    # octant -> old fine li
         for li, gid in enumerate(ids):
             k = int(kind[gid])
             if k == COPY:
-                out[li] = old_block(int(old_id[gid]))
+                copy_dst.append(li)
+                copy_src.append(old_loc_of[int(old_id[gid])][1])
             elif k == PROLONG:
                 oc = int(octant[gid])
-                ox, oy, oz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
-                cu = old_block(int(old_id[gid]))
-                reg = cu[:,
-                         g + oz * hz - 1:g + (oz + 1) * hz + 1,
-                         g + oy * hy - 1:g + (oy + 1) * hy + 1,
-                         g + ox * hx - 1:g + (ox + 1) * hx + 1]
-                fine = np.asarray(prolongate_minmod(jnp.asarray(reg),
-                                                    dims=3))
-                # fine covers virtual cells [-2, n+2); interior = [2, n+2)
-                out[li, :, g:g + nz, g:g + ny, g:g + nx] = \
-                    fine[:, 2:nz + 2, 2:ny + 2, 2:nx + 2]
+                pro[oc][0].append(li)
+                pro[oc][1].append(old_loc_of[int(old_id[gid])][1])
             elif k == RESTRICT:
-                # merged coarse leaf: assemble from the 2^d old children
-                a = int(new_sm.lx1[gid])
-                b = int(new_sm.lx2[gid])
-                c = int(new_sm.lx3[gid])
-                clev = int(new_sm.levels[gid])
+                a, b, c = (int(new_sm.lx1[gid]), int(new_sm.lx2[gid]),
+                           int(new_sm.lx3[gid]))
+                res_dst.append(li)
                 for oc in range(8):
                     cx, cy, cz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
-                    kid = old_by_loc[(clev + 1, 2 * a + cx, 2 * b + cy,
+                    kid = old_by_loc[(lev + 1, 2 * a + cx, 2 * b + cy,
                                       2 * c + cz)]
-                    ku = old_block(kid)
-                    rest = np.asarray(restrict_average(
-                        jnp.asarray(ku[:, g:g + nz, g:g + ny, g:g + nx]),
-                        dims=3))
-                    out[li, :,
-                        g + cz * hz:g + (cz + 1) * hz,
-                        g + cy * hy:g + (cy + 1) * hy,
-                        g + cx * hx:g + (cx + 1) * hx] = rest
+                    res_kids[oc].append(old_loc_of[kid][1])
             else:  # pragma: no cover
                 raise RuntimeError(f"unknown transfer kind {k}")
-            if k != COPY:
-                # edge-replicate the fresh interior into the ghost shell:
-                # face ghosts are refilled below; corner/edge ghosts are
-                # never read by the dimension-split hyperbolic update but
-                # must hold valid (non-zero-density) states
-                out[li] = np.pad(
-                    out[li, :, g:g + nz, g:g + ny, g:g + nx],
-                    ((0, 0), (g, g), (g, g), (g, g)), mode="edge")
-        new_state[lev] = jnp.asarray(out)
 
-    new_state = SmrState(new_sm, nvar).fill_ghosts(new_state)
+        # ---- batched device transfers
+        if copy_dst:
+            out = out.at[jnp.asarray(copy_dst)].set(
+                old[lev][jnp.asarray(copy_src)])
+        for oc in range(8):
+            dst, src = pro[oc]
+            if not dst:
+                continue
+            ox, oy, oz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
+            reg = old[lev - 1][jnp.asarray(src)][
+                :, :,
+                g + oz * hz - 1:g + (oz + 1) * hz + 1,
+                g + oy * hy - 1:g + (oy + 1) * hy + 1,
+                g + ox * hx - 1:g + (ox + 1) * hx + 1]
+            fine = prolongate_minmod(reg, dims=3)
+            # fine covers virtual cells [-2, n+2); interior = [2, n+2)
+            interior = fine[:, :, 2:nz + 2, 2:ny + 2, 2:nx + 2]
+            out = out.at[jnp.asarray(dst)].set(_edge_pad(interior, g))
+        if res_dst:
+            merged = jnp.zeros((len(res_dst), nvar, nz, ny, nx), dtype)
+            for oc in range(8):
+                cx, cy, cz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
+                kids = old[lev + 1][jnp.asarray(res_kids[oc])][isl]
+                rest = restrict_average(kids, dims=3)
+                merged = merged.at[:, :,
+                                   cz * hz:(cz + 1) * hz,
+                                   cy * hy:(cy + 1) * hy,
+                                   cx * hx:(cx + 1) * hx].set(rest)
+            out = out.at[jnp.asarray(res_dst)].set(_edge_pad(merged, g))
+        new_state[lev] = out
+
+    new_state = SmrState(new_sm, nvar,
+                         custom_bcs=custom_bcs).fill_ghosts(new_state)
     return new_sm, new_state
 
 
@@ -135,12 +158,24 @@ class AmrHydro:
 
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
                  check_interval=1, derefine_count=10, cooling=None,
-                 diffusion=None, problem_source_factory=None):
+                 diffusion=None, problem_source_factory=None,
+                 sharding=None, custom_bcs=None, problem_check=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
         self.cooling = cooling
         self.diffusion = diffusion
+        # device placement for the per-level leaf axis (a NamedSharding
+        # with P("blocks")); re-applied after every remesh so the new
+        # leaf population is rebalanced over the device mesh (the analog
+        # of Parthenon's AMR load balancing: leaves are laid out in the
+        # forest's SFC order and dealt to devices in contiguous chunks)
+        self.sharding = sharding
+        self.custom_bcs = custom_bcs
+        # pgen per-block refinement check (ProblemCheckRefinementBlock,
+        # reference main.cpp:76-77): fn(prim, base) -> [nblocks] tags,
+        # combined with the <refinement> criterion via elementwise max
+        self.problem_check = problem_check
         # factory(smesh) -> src(state, prims, beta_dt, t): per-leaf
         # coordinate closures must be rebuilt when the mesh changes
         self.problem_source_factory = problem_source_factory
@@ -170,7 +205,8 @@ class AmrHydro:
             st = SmrHydro(self.smesh, self.cfg, self.eos,
                           cooling=self.cooling,
                           diffusion=self.diffusion,
-                          problem_source_unsplit=src)
+                          problem_source_unsplit=src,
+                          custom_bcs=self.custom_bcs)
             self._steppers[sig] = st
         return st
 
@@ -184,6 +220,9 @@ class AmrHydro:
                                    self.cfg.nscalars)
             t = np.asarray(check_refinement(self.refine_cfg, prim,
                                             sm.base))
+            if self.problem_check is not None:
+                t = np.maximum(t, np.asarray(
+                    self.problem_check(prim, sm.base)))
             tags[ids] = t
         return tags
 
@@ -210,12 +249,16 @@ class AmrHydro:
         old_leaves = self.smesh.levels.size
         old_tbl = (self.smesh.levels.tobytes(), self.smesh.lx1.tobytes(),
                    self.smesh.lx2.tobytes(), self.smesh.lx3.tobytes())
-        self.smesh, state = remesh(self.smesh, state, tags)
+        self.smesh, state = remesh(self.smesh, state, tags,
+                                   custom_bcs=self.custom_bcs)
         new_tbl = (self.smesh.levels.tobytes(), self.smesh.lx1.tobytes(),
                    self.smesh.lx2.tobytes(), self.smesh.lx3.tobytes())
         changed = old_tbl != new_tbl or old_leaves != self.smesh.levels.size
         if changed:
             self._stepper = self._get_stepper()
+            # rebalance: deal the new leaf population over the device
+            # mesh (contiguous SFC chunks per device)
+            state = self._place(state)
         return state, changed
 
     def advance(self, state, ncycles, c_h=0.0):
@@ -225,7 +268,17 @@ class AmrHydro:
                 state, _ = self.maybe_remesh(state)
             dt = self._stepper.estimate_dt(state)
             state = self._stepper.step(state, dt, jnp.asarray(c_h))
+            state = self._place(state)
         return state
+
+    def _place(self, state):
+        """Pin the per-level leaf axis to the device mesh (XLA's layout
+        assignment is free to replicate unconstrained jit outputs)."""
+        if self.sharding is None:
+            return state
+        import jax
+        return {lev: jax.device_put(v, self.sharding)
+                for lev, v in state.items()}
 
     def total_mass(self, state):
         return self._stepper.total_mass(state)

@@ -200,9 +200,14 @@ class SmrMesh:
 class SmrState:
     """Per-level batched state + precomputed ghost-fill plans."""
 
-    def __init__(self, smesh: SmrMesh, nvar: int):
+    def __init__(self, smesh: SmrMesh, nvar: int, custom_bcs=None):
         self.smesh = smesh
         self.nvar = nvar
+        # problem-registered BCs (cloud inflow etc.): {bc_name:
+        # fn(u, didx, gsl, lev, axis, lo) -> u} applied to the per-level
+        # batched array; the refined-mesh analog of the uniform path's
+        # custom registry (core/boundaries.py:87-91)
+        self.custom_bcs = custom_bcs or {}
         b = smesh.base
         self.block_shape = b.block_shape
         if b.nghost > min(b.mbnx1, b.mbnx2, b.mbnx3) // 2:
@@ -470,10 +475,15 @@ class SmrState:
                     signs[mom_of_axis[axis]] = -1.0
                     ghost = jnp.asarray(signs, dtype=u.dtype).reshape(
                         (self.nvar, 1, 1, 1)) * mirror
+                elif bc in self.custom_bcs:
+                    u = self.custom_bcs[bc](u, didx, tuple(gsl), lev,
+                                            axis, lo)
+                    continue
                 else:
                     raise ValueError(
                         f"unsupported refined-mesh BC '{bc}' (periodic/"
-                        "outflow/reflecting)")
+                        "outflow/reflecting or a problem-registered "
+                        "custom BC)")
                 u = u.at[(didx,) + tuple(gsl)].set(ghost)
             out[lev] = u
         return out

@@ -34,7 +34,8 @@ _AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
 
 class SmrHydro:
     def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None,
-                 diffusion=None, problem_source_unsplit=None):
+                 diffusion=None, problem_source_unsplit=None,
+                 custom_bcs=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
@@ -56,7 +57,7 @@ class SmrHydro:
                 dx=smesh.dx(lev), nx2=b.nx2, nx3=b.nx3,
                 interior_slices=b.interior_slices)
             for lev in smesh.level_ids}
-        self.state_mgr = SmrState(smesh, cfg.nvar)
+        self.state_mgr = SmrState(smesh, cfg.nvar, custom_bcs=custom_bcs)
         mask = [False] * cfg.nvar
         mask[IDN] = True
         mask[IPR] = True

@@ -172,3 +172,48 @@ def test_reference_cluster_deck_runs(tmp_path):
     assert sim.ncycle == 2
     for lev, u in sim.state.items():
         assert np.isfinite(np.asarray(u)).all(), f"level {lev} not finite"
+
+
+@pytest.mark.slow
+def test_cloud_deck_adaptive_inflow():
+    """The reference cloud deck (refinement=adaptive + custom
+    cloud_inflow_x2 BC + ProblemCheckRefinementBlock scalar tagging)
+    runs end-to-end on the adaptive mesh: finite state, multi-level
+    grid tracking the cloud, wind state present in the inflow ghosts
+    (VERDICT round-2 item 6; reference main.cpp:76-77, cloud.cpp)."""
+    import jax.numpy as jnp
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.amr.driver import SmrSimulation
+
+    pin = ParameterInput.from_file(
+        "/root/reference/inputs/cloud.in",
+        ["parthenon/mesh/nx1=16", "parthenon/mesh/nx2=32",
+         "parthenon/mesh/nx3=16", "parthenon/meshblock/nx1=8",
+         "parthenon/meshblock/nx2=8", "parthenon/meshblock/nx3=8",
+         "parthenon/mesh/numlevel=2", "parthenon/time/nlim=2",
+         "parthenon/time/ncycle_out=0", "parthenon/time/ncycle_out_mesh=0",
+         "hydro/reconstruction=plm", "parthenon/mesh/nghost=2"])
+    sim = SmrSimulation(pin, quiet=True)
+    assert "cloud_inflow_x2" in sim._custom_bcs
+    assert sim._problem_check is not None
+    sim.run()
+    assert sim.ncycle == 2
+    # initial-AMR loop refined around the cloud (regenerated, not
+    # prolongated: pressure stays positive without floors)
+    assert sim._smesh_now().max_level >= 1
+    from athenapk_tpu.eos.adiabatic import cons_to_prim
+    for lev, u in sim.state.items():
+        assert bool(jnp.isfinite(u).all()), f"level {lev} not finite"
+        _, w = cons_to_prim(sim.eos, u, sim.cfg.fluid, sim.cfg.nscalars)
+        g = sim.smesh.base.nghost
+        assert float(w[:, 4, g:-g, g:-g, g:-g].min()) > 0.0
+    # inflow ghosts on the inner-x2 face carry the wind density
+    from athenapk_tpu.pgen.cloud import _params
+    cp = _params(pin)
+    sm = sim._smesh_now()
+    lev0 = min(sm.level_ids)
+    ids = sm.level_ids[lev0]
+    edge = [i for i, gid in enumerate(ids) if sm.lx2[gid] == 0]
+    g = sm.base.nghost
+    rho_ghost = np.asarray(sim.state[lev0])[edge, 0, g:-g, :g, g:-g]
+    np.testing.assert_allclose(rho_ghost, cp.rho_wind, rtol=1e-12)

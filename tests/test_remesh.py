@@ -367,3 +367,52 @@ def test_smr_rkl2_matches_unsplit():
         diff = np.abs(results["rkl2"][k] - results["unsplit"][k]).max()
         base_mag = np.abs(results["unsplit"][k]).max()
         assert diff / base_mag < 5e-3, (k, diff)
+
+
+def test_sharded_adaptive_remesh_bitwise():
+    """Adaptive evolution under GSPMD: AmrHydro(sharding=...) re-deals
+    the leaf population over the device mesh after every remesh (the
+    AMR load-balancing analog); transfers stay on device and the result
+    matches the unsharded run bitwise (VERDICT round-2 item 7)."""
+    import jax
+    from jax.sharding import (Mesh as JMesh, NamedSharding,
+                              PartitionSpec as P)
+
+    base = _mesh()
+    eos = EOS(gamma=5.0 / 3.0)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="plm", integrator="rk2")
+    rcfg = RefinementConfig(method="maxdensity",
+                            maxdensity_refine_above=1.3,
+                            maxdensity_deref_below=1.05)
+    from athenapk_tpu.amr.smr import SmrState
+
+    def fresh():
+        sm = SmrMesh(base, [], max_level=1)
+        st = _blob_state(sm, eos)
+        return sm, SmrState(sm, 5).fill_ghosts(st)
+
+    # unsharded reference
+    sm_a, st_a = fresh()
+    amr_a = AmrHydro(sm_a, cfg, eos, rcfg, derefine_count=1)
+    st_a = amr_a.advance(st_a, 4)
+
+    # sharded: 8-device mesh over the leaf axis
+    jm = JMesh(np.array(jax.devices()), ("blocks",))
+    shd = NamedSharding(jm, P("blocks"))
+    sm_b, st_b = fresh()
+    amr_b = AmrHydro(sm_b, cfg, eos, rcfg, derefine_count=1, sharding=shd)
+    st_b = {k: jax.device_put(v, shd) for k, v in st_b.items()}
+    st_b = amr_b.advance(st_b, 4)
+
+    assert amr_b.smesh.levels.size == amr_a.smesh.levels.size
+    assert amr_b.smesh.max_level > 0  # remesh actually refined
+    # the dominant level must stay distributed over the device mesh
+    # (small levels may legitimately be replicated by GSPMD layout)
+    big = max(st_b, key=lambda lev: st_b[lev].shape[0])
+    assert st_b[big].sharding.spec == P("blocks"), \
+        f"level {big} lost its sharding across remesh"
+    for lev in st_a:
+        np.testing.assert_array_equal(np.asarray(st_a[lev]),
+                                      np.asarray(st_b[lev]),
+                                      err_msg=f"level {lev}")
