@@ -147,6 +147,36 @@ class HydroPackage:
     def _cons_to_prim(self, u):
         return cons_to_prim(self.eos, u, self.cfg.fluid, self.cfg.nscalars)
 
+    # ------------------------------------------------------ fused lane sweep
+    def _use_pallas_sweep(self):
+        """Opt-in fused flux path (env ATHENAPK_PALLAS_SWEEP=1): only on
+        the ghost-free periodic layout, without the paths that need raw
+        per-face fluxes (first-order correction, unsplit diffusion)."""
+        import os
+        return (os.environ.get("ATHENAPK_PALLAS_SWEEP") == "1"
+                and self.mesh.nghost == 0
+                and self.cfg.riemann != "none"
+                and not self.cfg.first_order_flux_correct
+                and not (self.diffusion.any_enabled
+                         and self.diffusion.integrator == "unsplit"))
+
+    def _fused_negdiv(self, recon: str):
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if recon not in cache:
+            import os
+            import jax as _jax
+            from .pallas_sweep import make_fused_negdiv
+            interp = _jax.default_backend() != "tpu"
+            cache[recon] = make_fused_negdiv(
+                self.mesh, self.cfg, self.eos, self._positivity_mask,
+                recon,
+                tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "1")),
+                ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "32")),
+                interpret=interp)
+        return cache[recon]
+
     # ----------------------------------------------------------------- fluxes
     def _compute_fluxes(self, prim, c_h, recon: str):
         """One flux array per active direction, co-indexed faces (i = i-1/2).
@@ -284,15 +314,22 @@ class HydroPackage:
         # named scopes mirror the reference's named Kokkos kernels
         # ("x1 flux" etc., hydro.cpp:1071) so jax.profiler traces
         # attribute time per phase (SURVEY §5 tracing)
-        with jax.named_scope("calculate_fluxes"):
-            fluxes = self._compute_fluxes(prim, c_h, recon)
-        if self.cfg.first_order_flux_correct:
-            with jax.named_scope("first_order_flux_correct"):
-                fluxes = self._first_order_flux_correct(
-                    u0, u1, prim, fluxes, gam0, gam1, beta_dt, c_h)
-        with jax.named_scope("flux_divergence_update"):
-            div = self._flux_divergence(fluxes)
-            u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
+        if self._use_pallas_sweep():
+            # fused per-direction lane sweep: recon + Riemann + divergence
+            # in VMEM (solver/pallas_sweep.py); no HBM intermediates
+            with jax.named_scope("fused_lane_sweep"):
+                negdiv = self._fused_negdiv(recon)(prim, c_h)
+                u_new = gam0 * u0 + gam1 * u1 + beta_dt * negdiv
+        else:
+            with jax.named_scope("calculate_fluxes"):
+                fluxes = self._compute_fluxes(prim, c_h, recon)
+            if self.cfg.first_order_flux_correct:
+                with jax.named_scope("first_order_flux_correct"):
+                    fluxes = self._first_order_flux_correct(
+                        u0, u1, prim, fluxes, gam0, gam1, beta_dt, c_h)
+            with jax.named_scope("flux_divergence_update"):
+                div = self._flux_divergence(fluxes)
+                u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
         # restore ghost entries of u0 (the divergence is garbage there;
         # boundary fill below overwrites them from valid interiors)
         if self.cfg.fluid == GLMMHD:

@@ -46,3 +46,52 @@ def test_fused_divflux_matches_xla(fluid, riemann, recon, nghost):
     g = np.asarray(div_pl)[:, :, :, js:je + 1, is_:ie + 1]
     err = np.abs(r - g).max() / (np.abs(r).max() + 1e-30)
     assert err < 1e-12, f"fused/XLA mismatch {err:.2e}"
+
+
+def test_lane_sweep_matches_xla():
+    """Per-direction lane-sweep fused kernel (pallas_sweep) matches the
+    XLA whole-array path on the ghost-free periodic layout (interpret
+    mode; on-device enablement is the ATHENAPK_PALLAS_SWEEP bench knob).
+
+    Tolerance note: HLLD/limiter branch points may flip under f32 FMA
+    contraction inside the kernel jit — both branches are valid at the
+    degeneracy — so comparison is at a loose relative tolerance on a
+    generic (all-velocities-nonzero) state."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver.pallas_sweep import make_fused_negdiv
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(mesh, cfg, eos)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((1, cfg.nvar, n, n, n))
+    w[:, 0] = 1.0 + 0.1 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.2 * np.sin(2 * np.pi * z)
+    w[:, 2] = 0.2 + 0.1 * np.cos(2 * np.pi * x) * np.ones_like(y + z)
+    w[:, 3] = -0.15 + 0.1 * np.sin(2 * np.pi * y) * np.ones_like(x + z)
+    w[:, 4] = 0.6
+    w[:, 5] = 1.0
+    w[:, 6] = 0.5
+    w[:, 7] = 0.1
+    u = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                            "glmmhd")), jnp.float32)
+    _, prim = pkg._cons_to_prim(u)
+    c_h = jnp.asarray(1.3, jnp.float32)
+
+    ref = -np.asarray(pkg._flux_divergence(
+        pkg._compute_fluxes(prim, c_h, "ppm")))
+    fused = make_fused_negdiv(mesh, cfg, eos, pkg._positivity_mask,
+                              "ppm", tz=1, ty=8, interpret=True)
+    got = np.asarray(fused(prim, c_h))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 3e-3, f"fused sweep deviates: rel={rel:.2e}"
