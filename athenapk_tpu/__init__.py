@@ -19,11 +19,18 @@ reference uses double throughout and its convergence gates (~1e-8 L1)
 require it.
 """
 
+import os as _os
+
 import jax as _jax
 
 # f64 is required for the convergence-grade numerics (reference uses
 # Real=double everywhere). Enable before any arrays are created.
-_jax.config.update("jax_enable_x64", True)
+# ATHENAPK_DISABLE_X64=1 opts out for pure-f32 production runs: Mosaic
+# (Pallas) lowering emits 64-bit index types when x64 is globally on and
+# its layout pass rejects them, so the fused lane-sweep kernels require
+# this knob.
+if _os.environ.get("ATHENAPK_DISABLE_X64") != "1":
+    _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 

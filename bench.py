@@ -20,7 +20,19 @@ import time
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# Fused Pallas lane-sweep flux path: default ON for the f32 bench (2.5x
+# the XLA flux phase, bitwise-identical output).  Mosaic lowering
+# requires x64 globally OFF, so the pallas mode skips the x64 enable
+# (the bench computes in f32 regardless); BENCH_PALLAS=0 reverts to the
+# pure-XLA path.
+_PALLAS = (os.environ.get("BENCH_PALLAS", "1") == "1"
+           and os.environ.get("BENCH_DTYPE", "float32") == "float32")
+if _PALLAS:
+    os.environ["ATHENAPK_PALLAS_SWEEP"] = "1"
+    os.environ["ATHENAPK_DISABLE_X64"] = "1"
+    os.environ.setdefault("ATHENAPK_PALLAS_TY", "32")
+else:
+    jax.config.update("jax_enable_x64", True)
 # persistent compile cache: remote TPU compiles are slow; repeat runs hit disk
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -129,6 +141,8 @@ gamma = 1.666666666666667
     desc = f"{sim.mesh.nx1}x{sim.mesh.nx2}x{sim.mesh.nx3}"
     if ghostfree:
         desc += " ghost-free"
+    if _PALLAS:
+        desc += " fused-sweep"
     return zones * counted / wall, wall, counted, desc
 
 
