@@ -149,12 +149,13 @@ class HydroPackage:
 
     # ------------------------------------------------------ fused lane sweep
     def _use_pallas_sweep(self):
-        """Opt-in fused flux path (env ATHENAPK_PALLAS_SWEEP=1): only on
-        the ghost-free periodic layout, without the paths that need raw
-        per-face fluxes (first-order correction, unsplit diffusion)."""
+        """Opt-in fused flux path (env ATHENAPK_PALLAS_SWEEP=1): both the
+        ghost-free periodic and the ghosted multi-block layout (the roll
+        wrap garbage lands in the ghost rim either way); excluded are
+        the paths that need raw per-face fluxes (first-order correction,
+        unsplit diffusion)."""
         import os
         return (os.environ.get("ATHENAPK_PALLAS_SWEEP") == "1"
-                and self.mesh.nghost == 0
                 and self.cfg.riemann != "none"
                 and not self.cfg.first_order_flux_correct
                 and not (self.diffusion.any_enabled

@@ -77,27 +77,45 @@ def make_lane_sweep_negdiv(cfg, eos, positivity_mask, recon: str, d: int,
     return negdiv
 
 
+def _pick_tile(extent: int, want: int) -> int:
+    """Largest divisor of ``extent`` that is <= ``want``."""
+    for t in range(min(want, extent), 0, -1):
+        if extent % t == 0:
+            return t
+    return 1
+
+
 def make_fused_negdiv(mesh, cfg, eos, positivity_mask, recon: str,
                       tz: int = 1, ty: int = 32, interpret: bool = False):
-    """fn(prim, c_h) -> -div(F) over all active directions, for the
-    ghost-free periodic layout [nb, nvar, nz, ny, nx]."""
-    assert mesh.nghost == 0, "fused sweep targets the ghost-free layout"
+    """fn(prim, c_h) -> -div(F) over all active directions.
+
+    Works on BOTH layouts: ghost-free periodic (cyclic lane rolls are
+    the BC) and ghosted multi-block (the roll wrap-around garbage lands
+    in the ghost rim, exactly like the XLA roll-based path; the caller's
+    boundary fill overwrites it).  Tile sizes snap down to divisors of
+    the per-block extents."""
+    NZ, NY, NX = mesh.block_shape
     sweeps = []
-    # x: lanes already minormost
+    # x: lanes already minormost; grid tiles (z, y)
     sweeps.append((1, None,
                    make_lane_sweep_negdiv(cfg, eos, positivity_mask, recon,
-                                          1, mesh.dx1, tz, ty, interpret)))
+                                          1, mesh.dx1, _pick_tile(NZ, tz),
+                                          _pick_tile(NY, ty), interpret)))
     if mesh.nx2 > 1:
-        # y: swap (y, x) -> minor axis y
+        # y: swap (y, x) -> minor axis y; grid tiles (z, x)
         sweeps.append((2, (0, 1, 2, 4, 3),
                        make_lane_sweep_negdiv(cfg, eos, positivity_mask,
-                                              recon, 2, mesh.dx2, tz, ty,
+                                              recon, 2, mesh.dx2,
+                                              _pick_tile(NZ, tz),
+                                              _pick_tile(NX, ty),
                                               interpret)))
     if mesh.nx3 > 1:
-        # z: swap (z, x) -> minor axis z
+        # z: swap (z, x) -> minor axis z; grid tiles (x, y)
         sweeps.append((3, (0, 1, 4, 3, 2),
                        make_lane_sweep_negdiv(cfg, eos, positivity_mask,
-                                              recon, 3, mesh.dx3, tz, ty,
+                                              recon, 3, mesh.dx3,
+                                              _pick_tile(NX, tz),
+                                              _pick_tile(NY, ty),
                                               interpret)))
 
     def negdiv(prim, c_h):

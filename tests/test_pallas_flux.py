@@ -95,3 +95,50 @@ def test_lane_sweep_matches_xla():
     got = np.asarray(fused(prim, c_h))
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 3e-3, f"fused sweep deviates: rel={rel:.2e}"
+
+
+def test_lane_sweep_ghosted_matches_xla():
+    """Fused sweep on the GHOSTED multi-block layout: the per-block
+    cyclic roll semantics (wrap garbage in the ghost rim) are identical
+    to the XLA path, so interiors must agree."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver.pallas_sweep import make_fused_negdiv
+
+    n, mb, g = 16, 8, 3
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=mb, mbnx2=mb, mbnx3=mb,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(mesh, cfg, eos)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((mesh.nblocks, cfg.nvar) + mesh.block_shape)
+    w[:, 0] = 1.0 + 0.1 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.2 * np.sin(2 * np.pi * z) * np.ones_like(x + y)
+    w[:, 2] = 0.2 + 0.1 * np.cos(2 * np.pi * x) * np.ones_like(y + z)
+    w[:, 3] = -0.15 + 0.1 * np.sin(2 * np.pi * y) * np.ones_like(x + z)
+    w[:, 4] = 0.6
+    w[:, 5] = 1.0
+    w[:, 6] = 0.5
+    w[:, 7] = 0.1
+    u = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                            "glmmhd")), jnp.float32)
+    u = pkg.apply_boundaries(u)
+    _, prim = pkg._cons_to_prim(u)
+    c_h = jnp.asarray(1.3, jnp.float32)
+
+    ref = -np.asarray(pkg._flux_divergence(
+        pkg._compute_fluxes(prim, c_h, "ppm")))
+    fused = make_fused_negdiv(mesh, cfg, eos, pkg._positivity_mask,
+                              "ppm", tz=1, ty=8, interpret=True)
+    got = np.asarray(fused(prim, c_h))
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+    rel = np.abs(got[sl] - ref[sl]).max() / np.abs(ref[sl]).max()
+    assert rel < 3e-3, f"ghosted fused sweep deviates: rel={rel:.2e}"
