@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# fused Pallas lane-sweep (bench.py default): requires x64 globally off
+if os.environ.get("ATHENAPK_PALLAS_SWEEP") == "1":
+    os.environ["ATHENAPK_DISABLE_X64"] = "1"
+else:
+    jax.config.update("jax_enable_x64", True)
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
