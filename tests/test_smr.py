@@ -367,3 +367,69 @@ def test_smr_advection_second_order():
     e16 = run(16)
     e32 = run(32)
     assert e16 / e32 > 3.5, (e16, e32, e16 / e32)
+
+
+def test_ghost_fill_contract_edges_depth1():
+    """Pin the corner-fill contract (smr.py _fill_corners): after
+    fill_ghosts, every ghost cell in a face slab EXTENDED TRANSVERSALLY
+    BY ONE CELL (the '(face-normal, one-transverse) depth-1' region the
+    diffusion cross-stencils read) holds the exact field value.  A
+    linear field is reproduced exactly by both conservative transfer
+    operators, so any stale cell shows as an O(1) error.  Triple
+    corners (3-axis diagonals) are explicitly OUT of contract."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.amr.smr import SmrState
+
+    base = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2)
+    sm = SmrMesh(base, [(0.3, 0.7, 0.3, 0.7, 0.3, 0.7, 1)])
+    f = lambda x, y, z: 1.0 + 0.3 * x - 0.2 * y + 0.1 * z  # noqa: E731
+
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        blocks = []
+        for gid in ids:
+            xs, ys, zs = sm.cell_centers_leaf(gid)
+            blocks.append(f(xs, ys, zs)[None])
+        state[lev] = jnp.asarray(np.stack(blocks))
+    state = SmrState(sm, 1).fill_ghosts(state)
+
+    g = base.nghost
+    nz, ny, nx = base.mbnx3, base.mbnx2, base.mbnx1
+    bad = []
+    for lev, ids in sm.level_ids.items():
+        u = np.asarray(state[lev])
+        for li, gid in enumerate(ids):
+            xs, ys, zs = sm.cell_centers_leaf(gid)
+            exact = f(xs, ys, zs)
+            got = u[li, 0]
+            err = np.abs(got - exact)
+            # contract region: face slabs widened by 1 transverse cell
+            mask = np.zeros_like(err, bool)
+            core = [slice(g, g + nz), slice(g, g + ny), slice(g, g + nx)]
+            wide = [slice(g - 1, g + nz + 1), slice(g - 1, g + ny + 1),
+                    slice(g - 1, g + nx + 1)]
+            for ax in range(3):
+                for sl_n in (slice(0, g), slice([nz, ny, nx][ax] + g,
+                                                [nz, ny, nx][ax] + 2 * g)):
+                    reg = list(wide)
+                    reg[ax] = sl_n
+                    # keep the OTHER two dims: one widened, one core
+                    for other in range(3):
+                        if other == ax:
+                            continue
+                        r2 = list(reg)
+                        for third in range(3):
+                            if third not in (ax, other):
+                                r2[third] = core[third]
+                        mask[tuple(r2)] = True
+            # exclude ghosts whose centers leave the (periodic) domain
+            inside = ((xs > 0) & (xs < 1) & (ys > 0) & (ys < 1)
+                      & (zs > 0) & (zs < 1))
+            mask &= inside
+            m = err[mask].max() if mask.any() else 0.0
+            if m > 1e-12:
+                bad.append((lev, li, float(m)))
+    assert not bad, f"stale in-contract ghosts: {bad[:5]}"
