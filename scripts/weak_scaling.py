@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--cycles", type=int, default=4)
     ap.add_argument("--block", type=int, default=32,
                     help="cubic meshblock size")
+    ap.add_argument("--mesh2d", action="store_true",
+                    help="use a 2-D (z,y) device mesh (pod layout) via "
+                         "the explicit shard_map grid path")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +65,9 @@ def main():
     for nd in devices:
         if nd > len(jax.devices()):
             print(f"n={nd}: skipped (only {len(jax.devices())} devices)")
+            continue
+        if args.mesh2d:
+            _run_mesh2d(nd, args, results, devices, on_tpu, jax, jnp, mb)
             continue
         nb1 = nd * args.blocks_per_device
         deck = f"""
@@ -130,6 +136,90 @@ gamma = 1.666666666666667
         eff = zcs / (nd * base) if on_tpu else zcs / base
         print(f"n={nd}: blocks={nb1} zones={zones} "
               f"zone-cycles/s={zcs:.3e} efficiency={eff:.3f}")
+
+
+def _run_mesh2d(nd, args, results, devices, on_tpu, jax, jnp, mb):
+    """Fixed per-device load over a 2-D (z, y) device mesh: the pod
+    layout, via the explicit shard_map grid path (parallel/halo)."""
+    import time
+
+    import numpy as np
+
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.driver import Simulation
+    from athenapk_tpu.parallel.halo import (grid_sharding,
+                                            make_device_mesh_2d,
+                                            make_sharded_step_grid,
+                                            to_grid)
+
+    ndy = 2 if nd % 2 == 0 and nd > 1 else 1
+    ndz = nd // ndy
+    k2 = min(2, args.blocks_per_device)
+    k3 = max(1, args.blocks_per_device // k2)
+    nb3, nb2 = ndz * k3, ndy * k2
+    deck = f"""
+<job>
+problem_id = linear_wave_mhd
+
+<problem/linear_wave>
+compute_error = false
+wave_flag = 0
+amp = 1.0e-6
+vflow = 0.0
+
+<parthenon/mesh>
+nghost = 3
+nx1 = {mb}
+x1min = 0.0
+x1max = 1.0
+nx2 = {mb * nb2}
+x2min = 0.0
+x2max = {float(nb2)}
+nx3 = {mb * nb3}
+x3min = 0.0
+x3max = {float(nb3)}
+
+<parthenon/meshblock>
+nx1 = {mb}
+nx2 = {mb}
+nx3 = {mb}
+
+<parthenon/time>
+integrator = vl2
+cfl = 0.3
+tlim = 100.0
+nlim = 1
+ncycle_out = 0
+
+<hydro>
+fluid = glmmhd
+riemann = hlld
+reconstruction = ppm
+gamma = 1.666666666666667
+"""
+    pin = ParameterInput.from_string(deck)
+    sim = Simulation(pin, quiet=True)
+    dmesh = make_device_mesh_2d(jax.devices()[:nd], (ndz, ndy))
+    ug = jax.device_put(to_grid(sim.u.astype(jnp.float32), sim.mesh),
+                        grid_sharding(dmesh))
+    g_step, g_dt = make_sharded_step_grid(sim.pkg, dmesh)
+    dts = g_dt(ug)
+    dt = jnp.asarray(0.8 * float(dts[0]), ug.dtype)
+    c_h = jnp.asarray(0.0, ug.dtype)
+    ug = g_step(ug, dt, c_h)
+    ug.block_until_ready()
+    t0 = time.time()
+    for _ in range(args.cycles):
+        ug = g_step(ug, dt, c_h)
+    ug.block_until_ready()
+    wall = time.time() - t0
+    zones = mb ** 3 * nb3 * nb2
+    zcs = zones * args.cycles / wall
+    results[nd] = zcs
+    base = results[devices[0]]
+    eff = zcs / (nd * base) if on_tpu else zcs / base
+    print(f"n={nd}: mesh=({ndz},{ndy}) blocks={nb3 * nb2} zones={zones} "
+          f"zone-cycles/s={zcs:.3e} efficiency={eff:.3f}")
 
 
 if __name__ == "__main__":
