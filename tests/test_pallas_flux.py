@@ -142,3 +142,48 @@ def test_lane_sweep_ghosted_matches_xla():
           slice(g, -g))
     rel = np.abs(got[sl] - ref[sl]).max() / np.abs(ref[sl]).max()
     assert rel < 3e-3, f"ghosted fused sweep deviates: rel={rel:.2e}"
+
+
+def test_full_step_fused_matches_xla(monkeypatch):
+    """A full VL2 step with ATHENAPK_PALLAS_SWEEP=1 (interpret mode on
+    CPU) matches the XLA step on interiors — the end-to-end contract of
+    the _stage_update fused branch."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((1, cfg.nvar, n, n, n))
+    w[:, 0] = 1.0 + 0.05 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.1 * np.sin(2 * np.pi * z) * np.ones_like(x + y)
+    w[:, 2] = 0.2
+    w[:, 3] = -0.1
+    w[:, 4] = 0.6
+    w[:, 5] = 1.0
+    w[:, 6] = 0.5
+    w[:, 7] = 0.1
+    u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                             "glmmhd")), jnp.float32)
+    dt, c_h = 1e-3, 1.3
+
+    monkeypatch.delenv("ATHENAPK_PALLAS_SWEEP", raising=False)
+    ref = np.asarray(HydroPackage(mesh, cfg, eos)._step(
+        u0, jnp.float32(dt), jnp.float32(c_h)))
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    monkeypatch.setenv("ATHENAPK_PALLAS_TY", "8")
+    got = np.asarray(HydroPackage(mesh, cfg, eos)._step(
+        u0, jnp.float32(dt), jnp.float32(c_h)))
+
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"fused full step deviates: rel={rel:.2e}"
