@@ -170,7 +170,19 @@ def main():
     # CPU in tests/).  Override with BENCH_DTYPE=float64.
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     device_note = "tpu"
-    if not _tpu_alive():
+    # tunnel wedges self-heal after minutes; be patient before giving up
+    # the real-hardware number (BENCH_TPU_RETRIES x BENCH_TPU_WAIT s)
+    alive = _tpu_alive()
+    retries = int(os.environ.get("BENCH_TPU_RETRIES", "4"))
+    for i in range(retries):
+        if alive:
+            break
+        wait = int(os.environ.get("BENCH_TPU_WAIT", "300"))
+        log(f"TPU probe failed (try {i + 1}/{retries}); tunnel may be "
+            f"wedged — waiting {wait}s")
+        time.sleep(wait)
+        alive = _tpu_alive()
+    if not alive:
         log("TPU unavailable (tunnel wedged?) — falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
         device_note = "cpu-fallback"
