@@ -26,6 +26,7 @@ from ..core.indices import GLMMHD, IDN, IPR
 from ..eos.adiabatic import cons_to_prim, fast_magnetosonic_speed
 from ..recon import reconstruct
 from ..riemann import solve_riemann
+from ..solver.hydro_pkg import first_order_flux_correct
 from ..solver.integrators import INTEGRATORS
 from .smr import SmrMesh, SmrState
 
@@ -62,6 +63,10 @@ class SmrHydro:
         mask[IDN] = True
         mask[IPR] = True
         self._positivity_mask = jnp.asarray(mask)
+        # interior-cell mask [1,1,NZ,NY,NX] for the first-order rescue
+        g = smesh.base.nghost
+        im = jnp.zeros(smesh.base.block_shape, dtype=bool)
+        self._interior_mask = im.at[g:-g, g:-g, g:-g].set(True)[None, None]
         # flux-correction batches: one restricted write per (level, face)
         # group of coarse-fine sites (payload = the 4 face-touching fine
         # kids, octant-sorted, from the ghost-fill plans)
@@ -272,6 +277,19 @@ class SmrHydro:
                 u0[lev] = u0f
                 prims[lev] = prim
                 flux[lev] = self._fluxes_level(prim, lev, c_h, recon)
+            if cfg.first_order_flux_correct:
+                # per-level DC+LLF rescue BEFORE the coarse-fine
+                # restriction, matching the reference task order
+                # (first_order_flux_correct -> LoadAndSendFluxCorrections,
+                # hydro_driver.cpp:517-531)
+                beta_dt_s = tab["beta"][s] * dt
+                for lev in u0:
+                    flux[lev] = first_order_flux_correct(
+                        cfg, self.eos, (1, 2, 3), _AXIS_OF_DIR,
+                        {d: self.smesh.dx(lev)[d - 1] for d in (1, 2, 3)},
+                        self._interior_mask, u0[lev], u1[lev], prims[lev],
+                        flux[lev], tab["gam0"][s], tab["gam1"][s],
+                        beta_dt_s, c_h)
             flux = self._flux_correct(flux)
             beta_dt = tab["beta"][s] * dt
             for lev in u0:

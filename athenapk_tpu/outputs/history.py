@@ -88,7 +88,10 @@ class HistoryOutput:
         self._wrote_header = False
 
     def due(self, t: float) -> bool:
-        return self.dt >= 0.0 and t >= self.next_time
+        # dt < 0 (no <output>/dt in the deck) means write every cycle —
+        # the historical SMR-driver behavior; reference decks always set
+        # dt, so this is a fallback rather than a common path.
+        return self.dt < 0.0 or t >= self.next_time
 
     def _header(self):
         if self._wrote_header:

@@ -92,8 +92,16 @@ class AGNFeedback:
         of per-group partials — the cross-level analog of the reference's
         MPI_Allreduce wiring (``hydro_driver.cpp:360-449``).  Returns the
         list of updated ``u`` arrays in group order."""
+        # A tower configured with only fixed_field_rate injects without
+        # any fixed_power/triggering (the reference declares this path,
+        # ``magnetic_tower.cpp:243-254`` FixedFieldSrcTerm, though never
+        # wires it into its AGN task list; we make it live).
+        fixed_field = (self.magnetic_fraction > 0
+                       and self.magnetic_tower is not None
+                       and self.magnetic_tower.fixed_field_rate != 0.0)
         if self.disabled or (self.fixed_power == 0.0
-                             and self.triggering is None):
+                             and self.triggering is None
+                             and not fixed_field):
             return [g["u"] for g in groups]
         for g in groups:
             g["r"] = jnp.sqrt(g["x"] ** 2 + g["y"] ** 2 + g["z"] ** 2)

@@ -33,6 +33,63 @@ from .integrators import INTEGRATORS
 _AXIS_OF_DIR = {1: AXIS_X, 2: AXIS_Y, 3: AXIS_Z}
 
 
+def first_order_flux_correct(cfg, eos, dirs, axis_of_dir, dx_of_dir,
+                             interior, u0, u1, prim, fluxes,
+                             gam0, gam1, beta_dt, c_h):
+    """Iterative first-order flux correction
+    (``FirstOrderFluxCorrect``, ``src/hydro/hydro.cpp:1223-1342``):
+    cells whose candidate update would go rho<=0 or p<=0 get all their
+    face fluxes replaced by first-order DC+LLF fluxes; <=4 passes.
+    The reference's early-exit loop becomes 4 unrolled masked passes
+    (a pass with no bad cells is a no-op select).
+
+    Shared between the uniform path (``HydroPackage``) and the refined-
+    mesh path (``amr.smr_hydro.SmrHydro``, per level with level-scaled
+    dx) — the reference wires it for every mesh
+    (``hydro_driver.cpp:517-525``)."""
+    from ..core.indices import IM1, IM2, IM3, IEN, IB1, IB2, IB3
+
+    # DC+LLF point fluxes from unreconstructed prim
+    llf = {}
+    for d in dirs:
+        axis = axis_of_dir[d]
+        wl = jnp.roll(prim, 1, axis=axis)
+        llf[d] = solve_riemann("llf", cfg.fluid, eos, wl, prim, d,
+                               c_h=c_h, nscalars=cfg.nscalars)
+
+    def flux_div(fl):
+        div = None
+        for d in dirs:
+            axis = axis_of_dir[d]
+            dF = (jnp.roll(fl[d], -1, axis=axis) - fl[d]) / dx_of_dir[d]
+            div = dF if div is None else div + dF
+        return div
+
+    for attempt in range(4):
+        div = flux_div(fluxes)
+        u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
+        rho = u_new[:, IDN:IDN + 1]
+        ke_ = 0.5 * (u_new[:, IM1:IM1 + 1] ** 2 + u_new[:, IM2:IM2 + 1] ** 2
+                     + u_new[:, IM3:IM3 + 1] ** 2) / rho
+        p_like = u_new[:, IEN:IEN + 1] - ke_
+        if cfg.fluid == GLMMHD:
+            p_like = p_like - 0.5 * (u_new[:, IB1:IB1 + 1] ** 2
+                                     + u_new[:, IB2:IB2 + 1] ** 2
+                                     + u_new[:, IB3:IB3 + 1] ** 2)
+        bad = (rho <= 0.0) | (p_like <= 0.0)
+        if attempt > 2:
+            # last pass: rho>0 but p<0 cells are left to the floors
+            bad = rho <= 0.0
+        bad = bad & interior
+        new_fluxes = {}
+        for d in dirs:
+            axis = axis_of_dir[d]
+            bad_face = bad | jnp.roll(bad, 1, axis=axis)
+            new_fluxes[d] = jnp.where(bad_face, llf[d], fluxes[d])
+        fluxes = new_fluxes
+    return fluxes
+
+
 @dataclasses.dataclass(frozen=True)
 class HydroConfig:
     """Static solver configuration (the reference's <hydro> + <parthenon/time>
@@ -222,53 +279,16 @@ class HydroPackage:
     # ------------------------------------------------------- flux correction
     def _first_order_flux_correct(self, u0, u1, prim, fluxes,
                                   gam0, gam1, beta_dt, c_h):
-        """Iterative first-order flux correction
-        (``FirstOrderFluxCorrect``, ``src/hydro/hydro.cpp:1223-1342``):
-        cells whose candidate update would go rho<=0 or p<=0 get all their
-        face fluxes replaced by first-order DC+LLF fluxes; <=4 passes.
-        The reference's early-exit loop becomes 4 unrolled masked passes
-        (a pass with no bad cells is a no-op select)."""
-        from ..core.indices import IM1, IM2, IM3, IEN, IB1, IB2, IB3
-        cfg = self.cfg
         mesh = self.mesh
-
-        # DC+LLF point fluxes from unreconstructed prim
-        llf = {}
-        for d in self._active_dirs:
-            axis = _AXIS_OF_DIR[d]
-            wl = jnp.roll(prim, 1, axis=axis)
-            llf[d] = solve_riemann("llf", cfg.fluid, self.eos, wl, prim, d,
-                                   c_h=c_h, nscalars=cfg.nscalars)
-
         # interior mask [1,1,NZ,NY,NX]
         interior = jnp.zeros(mesh.block_shape, dtype=bool)
-        ks, ke, js, je, is_, ie = self.mesh.interior
+        ks, ke, js, je, is_, ie = mesh.interior
         interior = interior.at[ks:ke + 1, js:je + 1, is_:ie + 1].set(True)
-        interior = interior[None, None]
-
-        for attempt in range(4):
-            div = self._flux_divergence(fluxes)
-            u_new = gam0 * u0 + gam1 * u1 - beta_dt * div
-            rho = u_new[:, IDN:IDN + 1]
-            ke_ = 0.5 * (u_new[:, IM1:IM1 + 1] ** 2 + u_new[:, IM2:IM2 + 1] ** 2
-                         + u_new[:, IM3:IM3 + 1] ** 2) / rho
-            p_like = u_new[:, IEN:IEN + 1] - ke_
-            if cfg.fluid == GLMMHD:
-                p_like = p_like - 0.5 * (u_new[:, IB1:IB1 + 1] ** 2
-                                         + u_new[:, IB2:IB2 + 1] ** 2
-                                         + u_new[:, IB3:IB3 + 1] ** 2)
-            bad = (rho <= 0.0) | (p_like <= 0.0)
-            if attempt > 2:
-                # last pass: rho>0 but p<0 cells are left to the floors
-                bad = rho <= 0.0
-            bad = bad & interior
-            new_fluxes = {}
-            for d in self._active_dirs:
-                axis = _AXIS_OF_DIR[d]
-                bad_face = bad | jnp.roll(bad, 1, axis=axis)
-                new_fluxes[d] = jnp.where(bad_face, llf[d], fluxes[d])
-            fluxes = new_fluxes
-        return fluxes
+        dx_of = {d: mesh.dx[d - 1] for d in self._active_dirs}
+        return first_order_flux_correct(
+            self.cfg, self.eos, self._active_dirs, _AXIS_OF_DIR, dx_of,
+            interior[None, None], u0, u1, prim, fluxes,
+            gam0, gam1, beta_dt, c_h)
 
     # ---------------------------------------------------------------- sources
     def _dedner_source(self, u, prim, beta_dt, c_h):
