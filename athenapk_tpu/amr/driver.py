@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config.parameter_input import ParameterInput
@@ -72,6 +73,14 @@ class SmrSimulation:
         self.pin = pin
         self.quiet = quiet
         self.problem_id = pin.get_string("job", "problem_id")
+
+        # <hydro> precision = double | single (see driver.Simulation)
+        prec = pin.get_or_add_string("hydro", "precision", "double")
+        if prec == "single":
+            jax.config.update("jax_enable_x64", False)
+        elif prec != "double":
+            raise ValueError(f"hydro/precision must be single|double, "
+                             f"got '{prec}'")
 
         base = Mesh.from_parameter_input(pin)
         mode = pin.get_string("parthenon/mesh", "refinement")

@@ -26,7 +26,7 @@ from ..core.indices import GLMMHD, IDN, IPR
 from ..eos.adiabatic import cons_to_prim, fast_magnetosonic_speed
 from ..recon import reconstruct
 from ..riemann import solve_riemann
-from ..solver.hydro_pkg import first_order_flux_correct
+from ..solver.hydro_pkg import first_order_flux_correct, fofc_bad_cells
 from ..solver.integrators import INTEGRATORS
 from .smr import SmrMesh, SmrState
 
@@ -92,6 +92,120 @@ class SmrHydro:
         self._rkl2_first = jax.jit(self._rkl2_first_impl,
                                    static_argnames=("s_rkl",))
         self._rkl2_other = jax.jit(self._rkl2_other_impl)
+
+    # ------------------------------------------------------ fused lane sweep
+    def _use_pallas_sweep(self, dtype=None):
+        """Fused flux path selection on the refined mesh — same policy
+        as the uniform path (``hydro_pkg._use_pallas_sweep``): env knob
+        1/0 forces, unset means auto (f32 + TPU + x64 off).  Diffusion
+        needs raw per-face fluxes everywhere, so it stays on the XLA
+        path; FOFC runs as a per-level lax.cond rescue."""
+        import os
+        eligible = (self.cfg.riemann != "none" and self.diffusion is None)
+        knob = os.environ.get("ATHENAPK_PALLAS_SWEEP")
+        if knob == "1":
+            return eligible
+        if knob == "0":
+            return False
+        return (eligible
+                and dtype == jnp.float32
+                and not jax.config.jax_enable_x64
+                and jax.default_backend() == "tpu")
+
+    def _fused_negdiv_faces(self, recon, lev):
+        """Per-(recon, level) correction-aware fused kernel (level-scaled
+        dx); emits negdiv plus the boundary-face flux slabs that feed
+        ``_slab_flux_correct``."""
+        import os
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        key = (recon, lev)
+        if key not in cache:
+            from ..solver.pallas_sweep import make_fused_negdiv_faces
+            interp = jax.default_backend() != "tpu"
+            cache[key] = make_fused_negdiv_faces(
+                self.smesh.base.block_shape, self.smesh.dx(lev), self.cfg,
+                self.eos, self._positivity_mask, recon,
+                self.smesh.base.nghost,
+                tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "1")),
+                ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
+                interpret=interp)
+        return cache[key]
+
+    def _slabs_from_fluxes(self, fluxes):
+        """Extract the boundary-face slabs (canonical layout of
+        ``make_fused_negdiv_faces``) from full per-face flux arrays —
+        the XLA/rescue branch's counterpart of the kernel's slab
+        output."""
+        b = self.smesh.base
+        g = b.nghost
+        nsz = {1: b.mbnx1, 2: b.mbnx2, 3: b.mbnx3}
+        out = {}
+        for d, F in fluxes.items():
+            ax = 5 + _AXIS_OF_DIR[d]
+            lo = [slice(None)] * 5
+            lo[ax] = g
+            hi = [slice(None)] * 5
+            hi[ax] = g + nsz[d]
+            out[d] = jnp.stack([F[tuple(lo)], F[tuple(hi)]], axis=-1)
+        return out
+
+    def _slab_flux_correct(self, negdivs, slabs):
+        """Slab-based coarse-fine flux correction: restrict the fine
+        boundary-face fluxes (2x2 transverse average), and add the
+        resulting flux delta to the single interior cell layer adjacent
+        to each corrected coarse face — algebraically identical to
+        replacing the coarse flux before the divergence
+        (``_flux_correct``), but without materializing full flux
+        arrays (the fused path never does)."""
+        import numpy as np
+        b = self.smesh.base
+        g = b.nghost
+        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
+        nsz = {1: nx, 2: ny, 3: nz}
+
+        negdivs = dict(negdivs)
+        for (lev, face), (d_arr, kidmat, ocs) in self._fc_batch.items():
+            axis = 3 - face // 2
+            d = {3: 1, 2: 2, 1: 3}[axis]
+            lo = face % 2 == 0
+            n = nsz[d]
+            # fine kids' boundary face: hi end for a lo coarse face
+            fidx = 1 if lo else 0
+            cidx = 0 if lo else 1
+            tdims = sorted([t for t in (1, 2, 3) if t != d], reverse=True)
+            nops = kidmat.shape[0]
+            Ff = slabs[lev + 1][d][kidmat.reshape(-1)]   # [nops*4,nvar,A,B,2]
+            fine_face = Ff[:, :, g:g + nsz[tdims[0]],
+                           g:g + nsz[tdims[1]], fidx]
+            rest = 0.25 * (fine_face[..., 0::2, 0::2]
+                           + fine_face[..., 1::2, 0::2]
+                           + fine_face[..., 0::2, 1::2]
+                           + fine_face[..., 1::2, 1::2])
+            rest = rest.reshape((nops, len(ocs)) + rest.shape[1:])
+            t_shapes = [nsz[t] for t in tdims]
+            Fc = jnp.zeros((nops, rest.shape[2]) + tuple(t_shapes),
+                           dtype=rest.dtype)
+            for col, oc in enumerate(ocs):
+                offs = [((oc >> {1: 0, 2: 1, 3: 2}[t]) & 1) * (nsz[t] // 2)
+                        for t in tdims]
+                Fc = Fc.at[:, :, offs[0]:offs[0] + rest.shape[3],
+                           offs[1]:offs[1] + rest.shape[4]].set(rest[:, col])
+            old = slabs[lev][d][d_arr][:, :, g:g + t_shapes[0],
+                                       g:g + t_shapes[1], cidx]
+            delta = (Fc - old) / self.smesh.dx(lev)[d - 1]
+            # div_i = (F[i+1] - F[i])/dx: a lo coarse face (index g) is
+            # the left face of interior cell g (negdiv += delta); a hi
+            # face (index g+n) is the right face of cell g+n-1
+            # (negdiv -= delta)
+            layer = g if lo else g + n - 1
+            widx = [d_arr, slice(None), slice(g, g + nz),
+                    slice(g, g + ny), slice(g, g + nx)]
+            widx[5 + _AXIS_OF_DIR[d]] = layer
+            sign = 1.0 if lo else -1.0
+            negdivs[lev] = negdivs[lev].at[tuple(widx)].add(sign * delta)
+        return negdivs
 
     # ----------------------------------------------------------------- core
     def _fluxes_level(self, prim, lev, c_h, recon):
@@ -260,42 +374,94 @@ class SmrHydro:
             div = dF if div is None else div + dF
         return gam0 * u0 + gam1 * u1 - beta_dt * div
 
+    def _fused_level_stage(self, lev, u0f, u1l, prim, c_h, recon,
+                           gam0, gam1, beta_dt):
+        """Fused-kernel (negdiv, slabs) for one level, with the optional
+        DC+LLF rescue as a lax.cond: a level whose fused candidate has
+        any rho<=0 / p<=0 interior cell re-runs through the XLA flux
+        path + 4-pass rescue (slabs then come from the rescued fluxes,
+        preserving the rescue-before-restrict task order)."""
+        cfg = self.cfg
+        nd, sl = self._fused_negdiv_faces(recon, lev)(prim, c_h)
+        if not cfg.first_order_flux_correct:
+            return nd, sl
+        u_cand = gam0 * u0f + gam1 * u1l + beta_dt * nd
+        bad = fofc_bad_cells(cfg, u_cand, self._interior_mask)
+        dx = self.smesh.dx(lev)
+
+        def _rescue(_):
+            fl = self._fluxes_level(prim, lev, c_h, recon)
+            fl = first_order_flux_correct(
+                cfg, self.eos, (1, 2, 3), _AXIS_OF_DIR,
+                {d: dx[d - 1] for d in (1, 2, 3)}, self._interior_mask,
+                u0f, u1l, prim, fl, gam0, gam1, beta_dt, c_h)
+            div = None
+            for dd in (1, 2, 3):
+                dF = (jnp.roll(fl[dd], -1, axis=_AXIS_OF_DIR[dd])
+                      - fl[dd]) / dx[dd - 1]
+                div = dF if div is None else div + dF
+            return -div, self._slabs_from_fluxes(fl)
+
+        return jax.lax.cond(jnp.any(bad), _rescue, lambda _: (nd, sl),
+                            None)
+
     def _step(self, state, dt, c_h, t=0.0):
         cfg = self.cfg
         tab = INTEGRATORS[cfg.integrator]
         u0 = dict(state)
         u1 = dict(state)
+        fused = self._use_pallas_sweep(next(iter(state.values())).dtype)
         for s in range(tab["nstages"]):
             recon = cfg.reconstruction
             if cfg.integrator == "vl2" and s == 0:
                 recon = "dc"
-            prims = {}
-            flux = {}
-            for lev in u0:
-                u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
-                                         cfg.nscalars)
-                u0[lev] = u0f
-                prims[lev] = prim
-                flux[lev] = self._fluxes_level(prim, lev, c_h, recon)
-            if cfg.first_order_flux_correct:
-                # per-level DC+LLF rescue BEFORE the coarse-fine
-                # restriction, matching the reference task order
-                # (first_order_flux_correct -> LoadAndSendFluxCorrections,
-                # hydro_driver.cpp:517-531)
-                beta_dt_s = tab["beta"][s] * dt
-                for lev in u0:
-                    flux[lev] = first_order_flux_correct(
-                        cfg, self.eos, (1, 2, 3), _AXIS_OF_DIR,
-                        {d: self.smesh.dx(lev)[d - 1] for d in (1, 2, 3)},
-                        self._interior_mask, u0[lev], u1[lev], prims[lev],
-                        flux[lev], tab["gam0"][s], tab["gam1"][s],
-                        beta_dt_s, c_h)
-            flux = self._flux_correct(flux)
             beta_dt = tab["beta"][s] * dt
+            prims = {}
+            if fused:
+                negdivs = {}
+                slabs = {}
+                for lev in u0:
+                    u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
+                                             cfg.nscalars)
+                    u0[lev] = u0f
+                    prims[lev] = prim
+                    negdivs[lev], slabs[lev] = self._fused_level_stage(
+                        lev, u0f, u1[lev], prim, c_h, recon,
+                        tab["gam0"][s], tab["gam1"][s], beta_dt)
+                negdivs = self._slab_flux_correct(negdivs, slabs)
+                for lev in u0:
+                    u0[lev] = (tab["gam0"][s] * u0[lev]
+                               + tab["gam1"][s] * u1[lev]
+                               + beta_dt * negdivs[lev])
+            else:
+                flux = {}
+                for lev in u0:
+                    u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
+                                             cfg.nscalars)
+                    u0[lev] = u0f
+                    prims[lev] = prim
+                    flux[lev] = self._fluxes_level(prim, lev, c_h, recon)
+                if cfg.first_order_flux_correct:
+                    # per-level DC+LLF rescue BEFORE the coarse-fine
+                    # restriction, matching the reference task order
+                    # (first_order_flux_correct ->
+                    # LoadAndSendFluxCorrections,
+                    # hydro_driver.cpp:517-531)
+                    for lev in u0:
+                        flux[lev] = first_order_flux_correct(
+                            cfg, self.eos, (1, 2, 3), _AXIS_OF_DIR,
+                            {d: self.smesh.dx(lev)[d - 1]
+                             for d in (1, 2, 3)},
+                            self._interior_mask, u0[lev], u1[lev],
+                            prims[lev], flux[lev], tab["gam0"][s],
+                            tab["gam1"][s], beta_dt, c_h)
+                flux = self._flux_correct(flux)
+                for lev in u0:
+                    u0[lev] = self._update_level(u0[lev], u1[lev],
+                                                 flux[lev], lev,
+                                                 tab["gam0"][s],
+                                                 tab["gam1"][s], beta_dt)
             for lev in u0:
-                u0[lev] = self._update_level(u0[lev], u1[lev], flux[lev],
-                                             lev, tab["gam0"][s],
-                                             tab["gam1"][s], beta_dt)
                 if cfg.fluid == GLMMHD:
                     # Dedner psi damping, level-scaled mindx (the uniform
                     # path's glmmhd source; hydro_pkg.py:239-270)

@@ -42,6 +42,19 @@ class Simulation:
         self.problem_id = pin.get_string("job", "problem_id")
         self.base_name = base_name or self.problem_id
 
+        # <hydro> precision = double | single (repo extension; the
+        # reference is compile-time Real=double).  "single" disables
+        # global x64 so all state/compute runs f32 — the production TPU
+        # mode, and the trigger for the fused Pallas lane-sweep
+        # auto-select (hydro_pkg._use_pallas_sweep).  Must happen before
+        # any jax arrays are created.
+        prec = pin.get_or_add_string("hydro", "precision", "double")
+        if prec == "single":
+            jax.config.update("jax_enable_x64", False)
+        elif prec != "double":
+            raise ValueError(f"hydro/precision must be single|double, "
+                             f"got '{prec}'")
+
         self.mesh = Mesh.from_parameter_input(pin)
         self.cfg = HydroConfig.from_parameter_input(pin)
         self.eos = EOS.from_parameter_input(pin)
@@ -75,6 +88,8 @@ class Simulation:
             cooling = TabularCooling(
                 pin, self.units, pin.get_real("hydro", "gamma"), mu, he_x,
                 mbar_over_kb)
+            if pin.has("cooling", "test_filename"):
+                cooling.test_cooling_table(pin)
 
         src_unsplit = getattr(self.pgen, "problem_source_unsplit", None)
         if src_unsplit is not None:

@@ -120,6 +120,21 @@ def problem_generator(pin, mesh, cfg, eos):
     return _exact_cons(_geom(pin), mesh)
 
 
+def history_columns(pin, mesh, cfg, eos):
+    """Optional MaxAbsV2 history column (``dump_max_v2``; reference
+    ``linear_wave_mhd.cpp:739-742``) — the observable the
+    diffusion_linwave3d decay-rate suite fits."""
+    if not pin.get_or_add_bool("problem/linear_wave", "dump_max_v2",
+                               False):
+        return ()
+    import jax.numpy as jnp
+
+    def _max_v2(u, w, mesh):
+        return jnp.max(jnp.abs(w[mesh.interior_slices][:, 2]))
+
+    return [("MaxAbsV2", _max_v2)]
+
+
 def user_work_after_loop(pin, mesh, cfg, eos, sim):
     if not pin.get_or_add_bool("problem/linear_wave", "compute_error", False):
         return

@@ -196,14 +196,16 @@ def weno3(q, axis, dx):
 
 # ------------------------------------------------------------------------ limo3
 _TINY = 1.0e-20  # matches Athena TINY_NUMBER usage in the CT09 theta ratio
-_LIMO3_EPS = 10.0 * jnp.finfo(jnp.float64).eps
 
 
 def _limo3_phi(dvp, dvm, dx):
     """CT09 third-order limiter with asymptotic-region switch (eqs 2.8,
-    3.13, 3.17, 3.22); see ``src/recon/limo3_simple.hpp``."""
+    3.13, 3.17, 3.22); see ``src/recon/limo3_simple.hpp``.  The switch
+    width is dtype-aware: with the reference's fixed 10*eps(f64), an
+    f32 run cannot represent 1 +- eps and the smooth blend region
+    degenerates to a hard jump."""
     r = 0.1
-    eps = _LIMO3_EPS
+    eps = 10.0 * jnp.finfo(jnp.asarray(dvp).dtype).eps
     theta = dvm / (dvp + _TINY)
     qq = (2.0 + theta) / 3.0
     phi = jnp.maximum(

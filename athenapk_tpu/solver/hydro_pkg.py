@@ -33,6 +33,24 @@ from .integrators import INTEGRATORS
 _AXIS_OF_DIR = {1: AXIS_X, 2: AXIS_Y, 3: AXIS_Z}
 
 
+def fofc_bad_cells(cfg, u_new, interior):
+    """Interior cells whose candidate state fails the reference's
+    good-cell test ``rho > 0 && p > 0`` (``hydro.cpp:1280``) — phrased
+    as a negation so NaN candidates (e.g. NaN fluxes from Riemann
+    solves of negative reconstructed edge states) are also flagged and
+    rescued."""
+    from ..core.indices import IM1, IM2, IM3, IEN, IB1, IB2, IB3
+    rho = u_new[:, IDN:IDN + 1]
+    ke_ = 0.5 * (u_new[:, IM1:IM1 + 1] ** 2 + u_new[:, IM2:IM2 + 1] ** 2
+                 + u_new[:, IM3:IM3 + 1] ** 2) / rho
+    p_like = u_new[:, IEN:IEN + 1] - ke_
+    if cfg.fluid == GLMMHD:
+        p_like = p_like - 0.5 * (u_new[:, IB1:IB1 + 1] ** 2
+                                 + u_new[:, IB2:IB2 + 1] ** 2
+                                 + u_new[:, IB3:IB3 + 1] ** 2)
+    return ~((rho > 0.0) & (p_like > 0.0)) & interior
+
+
 def first_order_flux_correct(cfg, eos, dirs, axis_of_dir, dx_of_dir,
                              interior, u0, u1, prim, fluxes,
                              gam0, gam1, beta_dt, c_h):
@@ -76,10 +94,12 @@ def first_order_flux_correct(cfg, eos, dirs, axis_of_dir, dx_of_dir,
             p_like = p_like - 0.5 * (u_new[:, IB1:IB1 + 1] ** 2
                                      + u_new[:, IB2:IB2 + 1] ** 2
                                      + u_new[:, IB3:IB3 + 1] ** 2)
-        bad = (rho <= 0.0) | (p_like <= 0.0)
+        # negated good-cell tests (hydro.cpp:1280-1292) so NaN
+        # candidates are also corrected
+        bad = ~((rho > 0.0) & (p_like > 0.0))
         if attempt > 2:
             # last pass: rho>0 but p<0 cells are left to the floors
-            bad = rho <= 0.0
+            bad = ~(rho > 0.0)
         bad = bad & interior
         new_fluxes = {}
         for d in dirs:
@@ -205,18 +225,31 @@ class HydroPackage:
         return cons_to_prim(self.eos, u, self.cfg.fluid, self.cfg.nscalars)
 
     # ------------------------------------------------------ fused lane sweep
-    def _use_pallas_sweep(self):
-        """Opt-in fused flux path (env ATHENAPK_PALLAS_SWEEP=1): both the
-        ghost-free periodic and the ghosted multi-block layout (the roll
-        wrap garbage lands in the ghost rim either way); excluded are
-        the paths that need raw per-face fluxes (first-order correction,
-        unsplit diffusion)."""
+    def _use_pallas_sweep(self, dtype=None):
+        """Fused flux path selection.  ``ATHENAPK_PALLAS_SWEEP=1`` forces
+        it on (CPU runs use interpret mode), ``=0`` forces it off; unset
+        means AUTO: f32 state + TPU backend + global x64 off (Mosaic's
+        layout pass rejects 64-bit index types).  Both the ghost-free
+        periodic and the ghosted multi-block layout are served (the roll
+        wrap garbage lands in the ghost rim either way); first-order flux
+        correction runs as a lax.cond rescue on top (see _stage_update).
+        Excluded: unsplit diffusion (needs raw per-face fluxes) and the
+        null Riemann solver."""
         import os
-        return (os.environ.get("ATHENAPK_PALLAS_SWEEP") == "1"
-                and self.cfg.riemann != "none"
-                and not self.cfg.first_order_flux_correct
-                and not (self.diffusion.any_enabled
-                         and self.diffusion.integrator == "unsplit"))
+        eligible = (self.cfg.riemann != "none"
+                    and not (self.diffusion.any_enabled
+                             and self.diffusion.integrator == "unsplit"))
+        knob = os.environ.get("ATHENAPK_PALLAS_SWEEP")
+        if knob == "1":
+            return eligible
+        if knob == "0":
+            return False
+        # auto: production f32 TPU runs get the fused path with no flags
+        return (eligible
+                and self.mesh.nx3 > 1
+                and dtype == jnp.float32
+                and not jax.config.jax_enable_x64
+                and jax.default_backend() == "tpu")
 
     def _fused_negdiv(self, recon: str):
         cache = getattr(self, "_fused_cache", None)
@@ -277,6 +310,12 @@ class HydroPackage:
         return div
 
     # ------------------------------------------------------- flux correction
+    def _fofc_bad_cells(self, u_new):
+        interior = jnp.zeros(self.mesh.block_shape, dtype=bool)
+        ks, ke, js, je, is_, ie = self.mesh.interior
+        interior = interior.at[ks:ke + 1, js:je + 1, is_:ie + 1].set(True)
+        return fofc_bad_cells(self.cfg, u_new, interior[None, None])
+
     def _first_order_flux_correct(self, u0, u1, prim, fluxes,
                                   gam0, gam1, beta_dt, c_h):
         mesh = self.mesh
@@ -335,12 +374,30 @@ class HydroPackage:
         # named scopes mirror the reference's named Kokkos kernels
         # ("x1 flux" etc., hydro.cpp:1071) so jax.profiler traces
         # attribute time per phase (SURVEY §5 tracing)
-        if self._use_pallas_sweep():
+        if self._use_pallas_sweep(prim.dtype):
             # fused per-direction lane sweep: recon + Riemann + divergence
             # in VMEM (solver/pallas_sweep.py); no HBM intermediates
             with jax.named_scope("fused_lane_sweep"):
                 negdiv = self._fused_negdiv(recon)(prim, c_h)
                 u_new = gam0 * u0 + gam1 * u1 + beta_dt * negdiv
+            if self.cfg.first_order_flux_correct:
+                # DC+LLF rescue as a lax.cond: healthy cycles (the common
+                # case — the reference's pass-with-no-bad-cells is a
+                # no-op too) stay at fused speed; a cycle with any
+                # candidate rho<=0 / p<=0 cell re-runs the stage through
+                # the XLA flux path + 4-pass rescue.
+                with jax.named_scope("first_order_flux_correct"):
+                    bad = self._fofc_bad_cells(u_new)
+
+                    def _rescue(_):
+                        fluxes = self._compute_fluxes(prim, c_h, recon)
+                        fluxes = self._first_order_flux_correct(
+                            u0, u1, prim, fluxes, gam0, gam1, beta_dt, c_h)
+                        div = self._flux_divergence(fluxes)
+                        return gam0 * u0 + gam1 * u1 - beta_dt * div
+
+                    u_new = jax.lax.cond(jnp.any(bad), _rescue,
+                                         lambda _: u_new, None)
         else:
             with jax.named_scope("calculate_fluxes"):
                 fluxes = self._compute_fluxes(prim, c_h, recon)
@@ -554,5 +611,5 @@ class HydroPackage:
         """Divergence-cleaning speed c_h = cfl * min_dx / dt_hyp
         (``PreStepMeshUserWorkInLoop``, ``src/hydro/hydro.cpp:102-143``)."""
         if self.cfg.fluid != GLMMHD:
-            return jnp.asarray(0.0, dtype=jnp.float64)
+            return jnp.asarray(0.0)  # dtype follows the x64 mode
         return self.cfg.cfl * self.mesh.min_dx / dt_hyp

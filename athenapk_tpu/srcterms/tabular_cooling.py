@@ -121,6 +121,43 @@ class TabularCooling:
         invalid = (e < 0) | jnp.isnan(e) | (log_temp < self.log_temp_start)
         return jnp.where(invalid, 0.0, out)
 
+    # -------------------------------------------------------------- selftest
+    def test_cooling_table(self, pin):
+        """Deck-triggered table validation (``TestCoolingTable``,
+        reference ``tabular_cooling.cpp:666-722`` — declared there but
+        never wired into a caller; here ``<cooling> test_filename``
+        triggers it at startup): evaluate de/dt on a log-spaced
+        (rho, pres) grid and write '#rho pres internal_e de_dt' rows,
+        so a table/units misconfiguration is visible before a long run.
+        """
+        import numpy as np
+        c = "cooling"
+        fn = pin.get_string(c, "test_filename")
+        rho0 = pin.get_real(c, "test_rho0")
+        rho1 = pin.get_real(c, "test_rho1")
+        n_rho = pin.get_integer(c, "test_n_rho")
+        pres0 = pin.get_real(c, "test_pres0")
+        pres1 = pin.get_real(c, "test_pres1")
+        n_pres = pin.get_integer(c, "test_n_pres")
+        gm1 = self.gamma - 1.0
+        j = np.arange(n_rho)[:, None]
+        i = np.arange(n_pres)[None, :]
+        rho = rho0 * (rho1 / rho0) ** (j / max(n_rho - 1, 1)) \
+            * np.ones((1, n_pres))
+        pres = pres0 * (pres1 / pres0) ** (i / max(n_pres - 1, 1)) \
+            * np.ones((n_rho, 1))
+        internal_e = pres / (rho * gm1)
+        de_dt = np.asarray(self.dedt(jnp.asarray(internal_e),
+                                     jnp.asarray(rho)))
+        with open(fn, "w") as fh:
+            fh.write("#rho pres internal_e de_dt\n")
+            for jj in range(n_rho):
+                for ii in range(n_pres):
+                    fh.write(f"{rho[jj, ii]:.12g} {pres[jj, ii]:.12g} "
+                             f"{internal_e[jj, ii]:.12g} "
+                             f"{de_dt[jj, ii]:.12g}\n")
+        return rho, pres, internal_e, de_dt
+
     # ------------------------------------------------------------- internals
     def _internal_e(self, cons, is_mhd):
         rho = cons[:, IDN]

@@ -18,8 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# fused Pallas lane-sweep (bench.py default): requires x64 globally off
-if os.environ.get("ATHENAPK_PALLAS_SWEEP") == "1":
+# fused Pallas lane-sweep: auto-selected for f32 TPU runs, which needs
+# x64 globally off (Mosaic); GRID_DTYPE=float64 reverts to the f64 XLA
+# path, ATHENAPK_PALLAS_SWEEP=0 forces XLA at f32.
+_DTYPE = os.environ.get("GRID_DTYPE", "float32")
+if _DTYPE == "float32":
     os.environ["ATHENAPK_DISABLE_X64"] = "1"
 else:
     jax.config.update("jax_enable_x64", True)
@@ -46,7 +49,8 @@ MHD_COMBOS = [
 ]
 
 
-def run_one(fluid, integ, recon, riemann, n, dtype, ncycles=10, warmup=2):
+def run_one(fluid, integ, recon, riemann, n, dtype, ncycles=10, warmup=2,
+            mb=None):
     import time
 
     import jax.numpy as jnp
@@ -54,8 +58,18 @@ def run_one(fluid, integ, recon, riemann, n, dtype, ncycles=10, warmup=2):
     from athenapk_tpu.config.parameter_input import ParameterInput
     from athenapk_tpu.driver import Simulation
 
-    # ghost-free layout (nghost=0, one mesh-spanning block): the reference
-    # protocol's 256^3 mesh with exact lane alignment (see bench.py)
+    # mb == n (default): ghost-free layout (nghost=0, one mesh-spanning
+    # block — exact lane alignment, see bench.py).  Smaller mb: the
+    # ghosted multi-block layout, matching the reference's meshblock
+    # sweep (performance.py:33-40).
+    mb = n if mb is None else mb
+    nghost = 0 if mb == n else (3 if recon in ("ppm", "wenoz") else 2)
+    mb_block = "" if mb == n else f"""
+<parthenon/meshblock>
+nx1 = {mb}
+nx2 = {mb}
+nx3 = {mb}
+"""
     deck = f"""
 <job>
 problem_id = linear_wave_mhd
@@ -67,7 +81,7 @@ amp = 1.0e-6
 test = true
 
 <parthenon/mesh>
-nghost = 0
+nghost = {nghost}
 nx1 = {n}
 x1min = 0.0
 x1max = 3.0
@@ -77,7 +91,7 @@ x2max = 1.5
 nx3 = {n}
 x3min = 0.0
 x3max = 1.5
-
+{mb_block}
 <parthenon/time>
 integrator = {integ}
 cfl = 0.3
@@ -133,25 +147,39 @@ gamma = 1.666666666666667
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
-    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--dtype", default=_DTYPE)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--mb-sweep", action="store_true",
+                    help="also sweep meshblock sizes {64,128,256} on the "
+                         "headline combo (reference performance.py:33-40)")
     args = ap.parse_args()
 
-    combos = HYDRO_COMBOS + MHD_COMBOS
+    fused = (args.dtype == "float32"
+             and os.environ.get("ATHENAPK_PALLAS_SWEEP") != "0"
+             and jax.default_backend() == "tpu")
+    combos = [(f, i, r, rs, None) for f, i, r, rs
+              in HYDRO_COMBOS + MHD_COMBOS]
     if args.quick:
-        combos = [HYDRO_COMBOS[1], MHD_COMBOS[-1]]
+        combos = combos[1:2] + combos[-1:]
+    if args.mb_sweep:
+        combos += [("glmmhd", "vl2", "ppm", "hlld", mb)
+                   for mb in (64, 128, 256) if mb != args.n]
     results = []
-    for fluid, integ, recon, riemann in combos:
+    for fluid, integ, recon, riemann, mb in combos:
         try:
-            zcps = run_one(fluid, integ, recon, riemann, args.n, args.dtype)
-            print(f"{fluid:7s} {integ:4s} {recon:6s} {riemann:5s}: "
-                  f"{zcps:.4e} zone-cycles/s", flush=True)
+            zcps = run_one(fluid, integ, recon, riemann, args.n,
+                           args.dtype, mb=mb)
+            print(f"{fluid:7s} {integ:4s} {recon:6s} {riemann:5s} "
+                  f"mb={mb or args.n:4d}: {zcps:.4e} zone-cycles/s",
+                  flush=True)
             results.append(dict(fluid=fluid, integrator=integ,
                                 reconstruction=recon, riemann=riemann,
+                                meshblock=mb or args.n,
+                                dtype=args.dtype, fused=fused,
                                 zone_cycles_per_s=zcps))
         except Exception as e:  # noqa: BLE001
-            print(f"{fluid} {integ} {recon} {riemann}: FAILED {e}",
-                  flush=True)
+            print(f"{fluid} {integ} {recon} {riemann} mb={mb}: "
+                  f"FAILED {e}", flush=True)
     with open("performance_grid.json", "w") as fh:
         json.dump(results, fh, indent=1)
 

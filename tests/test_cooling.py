@@ -144,3 +144,39 @@ def test_cooling_timestep_estimate(tmp_path):
     dt = float(sim.pkg.cooling.estimate_timestep(prim, sim.mesh))
     tcool = e0 / abs(_dedt_ref(e0))
     np.testing.assert_allclose(dt, 0.1 * tcool, rtol=1e-6)
+
+
+def test_cooling_table_selftest(tmp_path):
+    """Deck-triggered table validation (``TestCoolingTable`` analog,
+    reference ``tabular_cooling.cpp:666-722``): <cooling>test_filename
+    makes the driver dump de/dt over a log-spaced (rho, pres) grid at
+    startup; values must match the analytic power law the table encodes
+    and scale as rho (de/dt = -Lambda(T) (X/m_h)^2 rho)."""
+    table = tmp_path / "powerlaw.cool"
+    _write_table(str(table))
+    out = tmp_path / "cooling_table_test.dat"
+    deck = DECK.format(tlim=1.0, nlim=0, integrator="townsend",
+                       table=str(table), max_dt=1.0)
+    pin = ParameterInput.from_string(deck)
+    pin.set("cooling", "test_filename", str(out))
+    pin.set("cooling", "test_rho0", "1.0e-26")
+    pin.set("cooling", "test_rho1", "1.0e-22")
+    pin.set("cooling", "test_n_rho", "5")
+    pin.set("cooling", "test_pres0", "1.0e-14")
+    pin.set("cooling", "test_pres1", "1.0e-10")
+    pin.set("cooling", "test_n_pres", "9")
+    Simulation(pin, quiet=True)
+
+    data = np.genfromtxt(str(out))
+    assert data.shape == (45, 4)
+    rho, pres, internal_e, de_dt = data.T
+    np.testing.assert_allclose(internal_e, pres / (rho * (GAMMA - 1.0)),
+                               rtol=1e-10)
+    T = MBAR_OVER_KB * (GAMMA - 1.0) * internal_e
+    in_table = (T >= 1.0e4) & (T <= 1.0e8)
+    assert in_table.sum() >= 20
+    expect = _dedt_ref(internal_e) / RHO * rho
+    np.testing.assert_allclose(de_dt[in_table], expect[in_table],
+                               rtol=1e-6)
+    # below-table temperatures cool at zero rate (DeDt contract)
+    assert (de_dt[T < 1.0e4] == 0.0).all()

@@ -1,51 +1,11 @@
-"""Pallas fused flux kernel vs the XLA whole-array path (interpret mode on
-CPU; the TPU build runs the same kernel compiled by Mosaic)."""
+"""Fused Pallas lane-sweep kernel vs the XLA whole-array path
+(interpret mode on CPU; the TPU build runs the same kernel compiled by
+Mosaic).  On-device enablement is automatic for f32 TPU runs
+(hydro_pkg._use_pallas_sweep)."""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
-
-from athenapk_tpu.core.mesh import Mesh
-from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
-from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
-from athenapk_tpu.solver.pallas_flux import make_fused_divflux
-
-
-@pytest.mark.parametrize("fluid,riemann,recon,nghost", [
-    ("glmmhd", "hlld", "ppm", 3),
-    ("euler", "hllc", "plm", 2),
-])
-def test_fused_divflux_matches_xla(fluid, riemann, recon, nghost):
-    mesh = Mesh(nx1=16, nx2=16, nx3=16, mbnx1=16, mbnx2=16, mbnx3=16,
-                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
-                nghost=nghost)
-    cfg = HydroConfig(fluid=fluid, riemann=riemann, reconstruction=recon)
-    eos = EOS(gamma=5.0 / 3.0)
-    pkg = HydroPackage(mesh, cfg, eos)
-    rng = np.random.default_rng(0)
-    nvar = cfg.nvar
-    w = np.ones((1, nvar) + mesh.block_shape)
-    w[:, 0] = 1.0 + 0.1 * rng.random(w[:, 0].shape)
-    w[:, 1:4] = 0.1 * rng.standard_normal(w[:, 1:4].shape)
-    w[:, 4] = 0.5 + 0.1 * rng.random(w[:, 4].shape)
-    if fluid == "glmmhd":
-        w[:, 5:8] = 0.2 * rng.standard_normal(w[:, 5:8].shape)
-    u = jnp.asarray(np.asarray(prim_to_cons(eos, w, fluid)))
-    u = pkg.apply_boundaries(u)
-    _, prim = pkg.cons_to_prim(u)
-    c_h = jnp.asarray(1.0)
-
-    div_ref = -pkg._flux_divergence(pkg._compute_fluxes(prim, c_h, recon))
-    fused = make_fused_divflux(mesh, cfg, eos, pkg._positivity_mask,
-                               tz=4, interpret=True)
-    div_pl = fused(prim, c_h)
-
-    g3 = mesh.ng3
-    ks, ke, js, je, is_, ie = mesh.interior
-    r = np.asarray(div_ref)[:, :, g3:g3 + 16, js:je + 1, is_:ie + 1]
-    g = np.asarray(div_pl)[:, :, :, js:je + 1, is_:ie + 1]
-    err = np.abs(r - g).max() / (np.abs(r).max() + 1e-30)
-    assert err < 1e-12, f"fused/XLA mismatch {err:.2e}"
 
 
 def test_lane_sweep_matches_xla():
@@ -187,3 +147,128 @@ def test_full_step_fused_matches_xla(monkeypatch):
 
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 1e-5, f"fused full step deviates: rel={rel:.2e}"
+
+
+def test_fused_fofc_cond_matches_xla(monkeypatch):
+    """first_order_flux_correct on the fused path: the lax.cond rescue
+    reproduces the XLA FOFC stage bit-for-bit when cells go bad, and
+    stays on the fused fast path when none do."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    cfg = HydroConfig(fluid="euler", riemann="hllc", reconstruction="ppm",
+                      integrator="rk2", first_order_flux_correct=True)
+    eos = EOS(gamma=5.0 / 3.0)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((1, 5, n, n, n))
+    # near-vacuum cell ring adjacent to a strong pressure spike: a large
+    # dt makes the high-order candidate go negative -> rescue branch
+    w[:, 0] = 1.0
+    w[:, 4] = np.where((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+                       < 0.03, 1.0e4, 1.0e-8) * np.ones_like(x + y + z)
+    u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                             "euler")), jnp.float32)
+    dt_bad = jnp.float32(2.0e-3)    # provokes negative cells
+    dt_ok = jnp.float32(1.0e-6)     # healthy cycle
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "0")
+    pkg_x = HydroPackage(mesh, cfg, eos)
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    monkeypatch.setenv("ATHENAPK_PALLAS_TY", "8")
+    pkg_f = HydroPackage(mesh, cfg, eos)
+
+    zero = jnp.float32(0.0)
+    # bad cycle: the rescue branch IS the XLA FOFC computation
+    ref_bad = np.asarray(pkg_x._step(u0, dt_bad, zero))
+    got_bad = np.asarray(pkg_f._step(u0, dt_bad, zero))
+    np.testing.assert_array_equal(got_bad, ref_bad)
+
+    # healthy cycle: fused fast path (close to XLA, not bitwise — FMA
+    # contraction differs inside the kernel jit)
+    ref_ok = np.asarray(pkg_x._step(u0, dt_ok, zero))
+    got_ok = np.asarray(pkg_f._step(u0, dt_ok, zero))
+    rel = np.abs(got_ok - ref_ok).max() / np.abs(ref_ok).max()
+    assert rel < 1e-5, f"healthy fused FOFC cycle deviates: rel={rel:.2e}"
+
+
+def _smr_blob(base, sm, eos, vac=False):
+    import jax.numpy as jnp
+    from athenapk_tpu.eos.adiabatic import prim_to_cons
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        w = np.zeros((len(ids), 5) + base.block_shape)
+        for li, gid in enumerate(ids):
+            x, y, z = sm.cell_centers_leaf(gid)
+            r2 = (x - 0.4) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+            if vac:
+                w[li, 0] = 1.0
+                w[li, 1] = 0.0
+                w[li, 4] = np.where(r2 < 0.02, 1.0e4, 1.0e-8) \
+                    * np.ones_like(x)
+            else:
+                w[li, 0] = 1.0 + np.broadcast_to(np.exp(-r2 / 0.01),
+                                                 base.block_shape)
+                w[li, 1] = 0.5
+                w[li, 4] = 1.0
+        state[lev] = jnp.asarray(np.asarray(prim_to_cons(
+            eos, jnp.asarray(w), "euler")), jnp.float32)
+    return state
+
+
+@pytest.mark.parametrize("fofc", [False, True])
+def test_smr_fused_matches_xla(monkeypatch, fofc):
+    """Correction-aware fused lane-sweep on a 2-level static mesh
+    (interpret mode): the slab-based coarse-fine flux correction matches
+    the XLA replace-then-diverge formulation to f32 roundoff, conserves
+    mass, and the FOFC variant's per-level cond rescue stays positive on
+    a near-vacuum state."""
+    import jax.numpy as jnp
+    from athenapk_tpu.amr.smr import SmrMesh
+    from athenapk_tpu.amr.smr_hydro import SmrHydro
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig
+
+    base = Mesh(nx1=16, nx2=16, nx3=16, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=3)
+    sm = SmrMesh(base, [(0.0, 0.5, 0.0, 0.5, 0.0, 0.5, 1)])
+    # the rescue's last pass leaves p<0 cells to the floors (reference
+    # FirstOrderFluxCorrect semantics), so the near-vacuum case needs
+    # them configured
+    eos = (EOS(gamma=5.0 / 3.0, density_floor=1e-12,
+               pressure_floor=1e-12) if fofc else EOS(gamma=5.0 / 3.0))
+    cfg = HydroConfig(fluid="euler", riemann="hllc", reconstruction="ppm",
+                      integrator="vl2", cfl=0.3,
+                      first_order_flux_correct=fofc)
+
+    def run(knob):
+        monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", knob)
+        sh = SmrHydro(sm, cfg, eos)
+        st = sh.state_mgr.fill_ghosts(_smr_blob(base, sm, eos, vac=fofc))
+        m0 = float(sh.total_mass(st))
+        dt = jnp.float32(float(sh.estimate_dt(st)) * (0.5 if fofc else 1.0))
+        for _ in range(3):
+            st = sh.step(st, dt, jnp.float32(0.0))
+        return st, m0, float(sh.total_mass(st))
+
+    st_x, m0x, m1x = run("0")
+    st_f, m0f, m1f = run("1")
+
+    g = base.nghost
+    for lev in st_x:
+        a = np.asarray(st_x[lev][:, :, g:-g, g:-g, g:-g])
+        b = np.asarray(st_f[lev][:, :, g:-g, g:-g, g:-g])
+        assert np.isfinite(b).all()
+        if fofc:
+            assert b[:, 0].min() > 0.0
+        rel = np.abs(b - a).max() / np.abs(a).max()
+        assert rel < 2e-5, f"lev {lev}: fused/XLA rel={rel:.2e}"
+    assert abs(m1f - m0f) / abs(m0f) < 1e-5
