@@ -148,6 +148,63 @@ def remesh(smesh: SmrMesh, state, tags, custom_bcs=None):
     return new_sm, new_state
 
 
+class _PaddedStepper:
+    """Slot-padding adapter around ``SmrHydro`` for sharded leaf axes.
+
+    GSPMD placement requires the sharded leaf axis to divide the device
+    count, so ``AmrHydro._place`` pads each level to the next multiple
+    of D.  This adapter makes the padded layout transparent to the
+    stepper: every entry point slices each level back to its exact leaf
+    count INSIDE the jitted program (so the computation stays
+    distributed and results on real rows are bitwise-identical to the
+    unsharded run) and re-pads step outputs to the slot shape."""
+
+    def __init__(self, inner: SmrHydro, owner: "AmrHydro"):
+        self._inner = inner
+        self._owner = owner
+        self.smesh = inner.smesh
+        self.cfg = inner.cfg
+        self.sts = inner.sts
+        self.diffusion = inner.diffusion
+        counts = {lev: len(ids)
+                  for lev, ids in inner.smesh.level_ids.items()}
+        self._counts = counts
+        self._slots = {lev: owner._nslots(c) for lev, c in counts.items()}
+        import jax as _jax
+        self.step = _jax.jit(self._step_padded)
+
+    def _slice(self, state):
+        return {lev: v[:self._counts[lev]] for lev, v in state.items()}
+
+    def _pad(self, state):
+        out = {}
+        for lev, v in state.items():
+            ns = self._slots[lev]
+            if v.shape[0] < ns:
+                padrows = jnp.broadcast_to(
+                    v[:1], (ns - v.shape[0],) + v.shape[1:])
+                v = jnp.concatenate([v, padrows], axis=0)
+            out[lev] = v
+        return out
+
+    def _step_padded(self, state, dt, c_h, t=0.0):
+        return self._pad(self._inner._step(self._slice(state), dt, c_h, t))
+
+    def estimate_dt(self, state):
+        return self._inner.estimate_dt(self._slice(state))
+
+    def estimate_dt_with_diff(self, state, dt_hyp=None):
+        return self._inner.estimate_dt_with_diff(self._slice(state),
+                                                 dt_hyp=dt_hyp)
+
+    def sts_half_step(self, state, tau, dt_diff):
+        return self._pad(self._inner.sts_half_step(self._slice(state),
+                                                   tau, dt_diff))
+
+    def total_mass(self, state):
+        return self._inner.total_mass(self._slice(state))
+
+
 class AmrHydro:
     """Adaptive-mesh hydro driver: step + periodic retag/remesh.
 
@@ -207,6 +264,8 @@ class AmrHydro:
                           diffusion=self.diffusion,
                           problem_source_unsplit=src,
                           custom_bcs=self.custom_bcs)
+            if self.sharding is not None:
+                st = _PaddedStepper(st, self)
             self._steppers[sig] = st
         return st
 
@@ -214,6 +273,7 @@ class AmrHydro:
     def compute_tags(self, state):
         """Global per-leaf tag array from the configured criterion."""
         sm = self.smesh
+        state = self.exact_state(state)
         tags = np.zeros(sm.levels.size, np.int32)
         for lev, ids in sm.level_ids.items():
             _, prim = cons_to_prim(self.eos, state[lev], self.cfg.fluid,
@@ -249,8 +309,8 @@ class AmrHydro:
         old_leaves = self.smesh.levels.size
         old_tbl = (self.smesh.levels.tobytes(), self.smesh.lx1.tobytes(),
                    self.smesh.lx2.tobytes(), self.smesh.lx3.tobytes())
-        self.smesh, state = remesh(self.smesh, state, tags,
-                                   custom_bcs=self.custom_bcs)
+        self.smesh, state = remesh(self.smesh, self.exact_state(state),
+                                   tags, custom_bcs=self.custom_bcs)
         new_tbl = (self.smesh.levels.tobytes(), self.smesh.lx1.tobytes(),
                    self.smesh.lx2.tobytes(), self.smesh.lx3.tobytes())
         changed = old_tbl != new_tbl or old_leaves != self.smesh.levels.size
@@ -271,14 +331,67 @@ class AmrHydro:
             state = self._place(state)
         return state
 
+    # ------------------------------------------------- sharded placement
+    # GSPMD can only place arrays whose sharded axis divides the device
+    # count, so the leaf axis of each level is SLOT-PADDED to the next
+    # multiple of D before ``device_put`` and sliced back to the exact
+    # leaf count *inside* the stepper's jit (``_PaddedStepper``) —
+    # results on real rows are bitwise-identical to the unsharded run,
+    # and per-level real-leaf imbalance is bounded by a single chunk
+    # (ceil(c/D) rows).  Octree fine levels always hold a multiple of 8
+    # leaves, so on the typical 8-per-host mesh only the root level even
+    # carries pads.  (The exact-±1 endgame is a flat leaf-axis layout —
+    # per-level device rings don't work: jit refuses inputs on
+    # differently-ordered rings, and the step combines levels through
+    # the ghost fill.  TPU analog of Parthenon's SFC chunk balancing,
+    # ``parthenon/src/mesh/mesh.cpp`` LoadBalancing.)
+
+    def _ndev(self):
+        return len(list(self.sharding.mesh.devices.flat))
+
+    def _nslots(self, c):
+        D = self._ndev()
+        return -(-c // D) * D
+
     def _place(self, state):
-        """Pin the per-level leaf axis to the device mesh (XLA's layout
-        assignment is free to replicate unconstrained jit outputs)."""
+        """Slot-pad each level's leaf axis to a multiple of the device
+        count and pin it to the device mesh.  Idempotent:
+        already-padded levels are re-placed as-is.  Pad rows duplicate
+        row 0 (benign finite data); they are sliced off inside every
+        stepper entry point and by ``exact_state``."""
         if self.sharding is None:
             return state
         import jax
-        return {lev: jax.device_put(v, self.sharding)
+        counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
+        out = {}
+        for lev, v in state.items():
+            ns = self._nslots(counts[lev])
+            if v.shape[0] < ns:
+                pad = jnp.broadcast_to(v[:1], (ns - v.shape[0],) + v.shape[1:])
+                v = jnp.concatenate([v, pad], axis=0)
+            out[lev] = jax.device_put(v, self.sharding)
+        return out
+
+    def exact_state(self, state):
+        """Strip slot padding -> {level: [n_leaves_lev, ...]} views."""
+        counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
+        return {lev: v[:counts[lev]] if v.shape[0] != counts[lev] else v
                 for lev, v in state.items()}
+
+    def device_leaf_counts(self, state):
+        """Actual per-device REAL-leaf totals (balance diagnostic):
+        counts rows below each level's exact leaf count per shard."""
+        counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
+        out = {}
+        for lev, v in state.items():
+            c = counts[lev]
+            for sh in v.addressable_shards:
+                lo = sh.index[0].start or 0
+                hi = sh.index[0].stop if sh.index[0].stop is not None \
+                    else v.shape[0]
+                n = max(0, min(hi, c) - lo)
+                out[sh.device] = out.get(sh.device, 0) + n
+        return out
 
     def total_mass(self, state):
         return self._stepper.total_mass(state)

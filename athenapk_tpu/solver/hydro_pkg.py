@@ -258,15 +258,86 @@ class HydroPackage:
         if recon not in cache:
             import os
             import jax as _jax
-            from .pallas_sweep import make_fused_negdiv
+            from .pallas_sweep import make_fused_negdiv, make_fused_negdiv_v2
             interp = _jax.default_backend() != "tpu"
-            cache[recon] = make_fused_negdiv(
+            # v2 (transpose-free halo-slab sweeps) for 3-D layouts;
+            # v1 (lane sweep + transposes) for 1-D/2-D.  ATHENAPK_PALLAS_V2=0
+            # forces v1 everywhere (A/B lever).
+            use_v2 = (self.mesh.nx2 > 1 and self.mesh.nx3 > 1
+                      and os.environ.get("ATHENAPK_PALLAS_V2") != "0")
+            if use_v2:
+                cache[recon] = make_fused_negdiv_v2(
+                    self.mesh, self.cfg, self.eos, self._positivity_mask,
+                    recon,
+                    tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "8")),
+                    ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
+                    interpret=interp)
+            else:
+                cache[recon] = make_fused_negdiv(
+                    self.mesh, self.cfg, self.eos, self._positivity_mask,
+                    recon,
+                    tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "1")),
+                    ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "32")),
+                    interpret=interp)
+        return cache[recon]
+
+    # ---------------------------------------------------- whole-stage fusion
+    def _use_fused_stage(self, dtype=None):
+        """Whole-stage kernel eligibility: everything the fused sweep
+        needs, PLUS nothing else in the stage may require materialized
+        prim or raw fluxes — ghost-free periodic layout, no FOFC, no
+        per-stage problem source, and for GLM-MHD only the plain Dedner
+        source (the extended source reads prim B/psi gradients).
+        ``ATHENAPK_PALLAS_STAGE=0`` forces it off."""
+        import os
+        if os.environ.get("ATHENAPK_PALLAS_STAGE") == "0":
+            return False
+        return (self._use_pallas_sweep(dtype)
+                and self.mesh.nghost == 0
+                and self.mesh.nx2 > 1 and self.mesh.nx3 > 1
+                and not self.cfg.first_order_flux_correct
+                and self.problem_source_unsplit is None
+                and (self.cfg.fluid != GLMMHD
+                     or self.cfg.glmmhd_source == "dedner_plain"))
+
+    def _fused_stage(self, recon: str):
+        cache = getattr(self, "_fused_stage_cache", None)
+        if cache is None:
+            cache = self._fused_stage_cache = {}
+        if recon not in cache:
+            import os
+            import jax as _jax
+            from .pallas_sweep import make_fused_stage
+            interp = _jax.default_backend() != "tpu"
+            cache[recon] = make_fused_stage(
                 self.mesh, self.cfg, self.eos, self._positivity_mask,
                 recon,
-                tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "1")),
-                ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "32")),
+                tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "8")),
+                ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
                 interpret=interp)
         return cache[recon]
+
+    def _fused_stage_update(self, u0, u1, gam0, gam1, beta_dt, c_h,
+                            recon: str):
+        """cons->prim + 3 sweeps + stage axpy in ONE kernel (one HBM
+        pass over the state); the cheap pointwise epilogues (Dedner psi
+        damping, cooling, boundary fill) stay outside."""
+        with jax.named_scope("fused_stage"):
+            u_new = self._fused_stage(recon)(u0, u1, gam0, gam1,
+                                             beta_dt, c_h)
+        if self.cfg.fluid == GLMMHD:
+            with jax.named_scope("dedner_source"):
+                # plain Dedner source only (gated in _use_fused_stage):
+                # psi *= exp(-alpha c_h dt / dx) — prim-free
+                coeff = jnp.exp(-self.cfg.glmmhd_alpha * c_h * beta_dt
+                                / self.mesh.min_dx)
+                u_new = u_new.at[:, IPS].multiply(coeff)
+        if self.cooling is not None:
+            with jax.named_scope("tabular_cooling"):
+                u_new = self.cooling.apply(u_new, beta_dt, self.cfg.fluid)
+        with jax.named_scope("boundary_fill"):
+            u_new = self.apply_boundaries(u_new)
+        return u_new
 
     # ----------------------------------------------------------------- fluxes
     def _compute_fluxes(self, prim, c_h, recon: str):
@@ -437,14 +508,24 @@ class HydroPackage:
         u0 = u
         u1 = u
         cur_t = t
+        fused_stage = self._use_fused_stage(u.dtype)
         for s in range(tab["nstages"]):
             recon = cfg.reconstruction
             if cfg.integrator == "vl2" and s == 0:
                 recon = "dc"   # first-order predictor (hydro.cpp:459-464)
-            u0f, prim = self._cons_to_prim(u0)
-            u0 = self._stage_update(u0f, u1, prim,
-                                    tab["gam0"][s], tab["gam1"][s],
-                                    tab["beta"][s] * dt, c_h, recon, cur_t)
+            if fused_stage:
+                # cons->prim happens inside the kernel; skip the
+                # separate prim materialization entirely
+                u0 = self._fused_stage_update(u0, u1, tab["gam0"][s],
+                                              tab["gam1"][s],
+                                              tab["beta"][s] * dt, c_h,
+                                              recon)
+            else:
+                u0f, prim = self._cons_to_prim(u0)
+                u0 = self._stage_update(u0f, u1, prim,
+                                        tab["gam0"][s], tab["gam1"][s],
+                                        tab["beta"][s] * dt, c_h, recon,
+                                        cur_t)
         return u0
 
     def _advance_cycles(self, u, t, dt, dt_hyp, tlim, n_cycles):

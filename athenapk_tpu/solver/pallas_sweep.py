@@ -130,6 +130,199 @@ def make_lane_sweep_negdiv_faces(cfg, eos, positivity_mask, recon: str,
     return negdiv_faces
 
 
+# --------------------------------------------------------------------- v2
+# Transpose-free multi-axis sweeps.  The v1 kernels above keep the sweep
+# axis on the LANES and transpose the array for y/z — two full HBM
+# passes per transposed direction.  The v2 design keeps the array in its
+# canonical [nb, nvar, NZ, NY, NX] layout for every direction:
+#
+#   * x: lane-axis stencil on the full-NX tile (as v1),
+#   * y: SUBLANE-axis stencil on a halo-extended (tz, ty+2h, NX) slab,
+#   * z: leading-axis stencil on a halo-extended (tz+2h, ty, NX) slab,
+#
+# where the thin y/z halo slabs are gathered by XLA before the call
+# (2h/t of an HBM pass each) instead of transposing whole arrays.
+# ``make_fused_stage`` goes one step further and performs the entire 2S
+# integrator stage — cons->prim (with floors), all three sweeps, and the
+# stage axpy — in ONE kernel: HBM traffic per stage drops to ~1 read of
+# u0 (+halo fraction), 1 read of u1, 1 write of u_new, against ~20
+# array-sized passes for the unfused XLA formulation.  This is the
+# speed-of-light shape for the reference's ``CalculateFluxes`` +
+# ``UpdateWithFluxDivergence`` chain (``src/hydro/hydro.cpp:1026-1208``,
+# Parthenon ``update.cpp``) on a bandwidth-bound TPU.
+
+
+def _halo_slabs(q, t, h, axis):
+    """[..] -> per-tile halo slab along ``axis`` (2 or 3 of a 5-D array):
+    returns an array with a new tile axis at ``axis`` and a 2h halo axis
+    after it: planes [i*t-h, i*t) ++ [(i+1)*t, (i+1)*t+h) (periodic)."""
+    n = q.shape[axis]
+    nb_t = n // t
+    lead = q.shape[:axis]
+    trail = q.shape[axis + 1:]
+    lo = jnp.roll(q, h, axis=axis).reshape(lead + (nb_t, t) + trail)
+    hi = jnp.roll(q, -t, axis=axis).reshape(lead + (nb_t, t) + trail)
+    sl = (slice(None),) * (axis + 1) + (slice(0, h),)
+    return jnp.concatenate([lo[sl], hi[sl]], axis=axis + 1)
+
+
+def _negdiv_slab(cfg, eos, positivity_mask, recon, d, dx, c_h, slab, axis,
+                 h, t):
+    """recon+Riemann+divergence along ``axis`` of a halo-extended slab;
+    returns the valid middle ``t`` entries of that axis."""
+    qm, qp = reconstruct(recon, slab, axis, dx,
+                         positivity_mask=positivity_mask)
+    wl = jnp.roll(qp, 1, axis=axis)
+    F = solve_riemann(cfg.riemann, cfg.fluid, eos, wl, qm, d,
+                      c_h=c_h, nscalars=cfg.nscalars)
+    nd = -(jnp.roll(F, -1, axis=axis) - F) / dx
+    if h == 0:
+        return nd
+    sl = [slice(None)] * nd.ndim
+    sl[axis] = slice(h, h + t)
+    return nd[tuple(sl)]
+
+
+def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
+                     tz: int = 8, ty: int = 8, interpret: bool = False):
+    """Whole-stage kernel for the ghost-free periodic 3-D layout:
+    ``fn(u0, u1, gam0, gam1, beta_dt, c_h) -> u_new`` computing
+
+        u0f, prim = cons_to_prim(u0)            (floors applied)
+        u_new = gam0*u0f + gam1*u1 + beta_dt * (-div F(prim))
+
+    bitwise-identically to the XLA path, in one HBM pass.  y and z
+    stencils run on halo-extended slabs in canonical layout (no
+    transposes); x is the periodic lane stencil."""
+    from ..eos.adiabatic import cons_to_prim
+    from ..recon import nghost_for
+
+    assert mesh.nghost == 0 and mesh.nx2 > 1 and mesh.nx3 > 1
+    NZ, NY, NX = mesh.block_shape
+    nvar = cfg.nvar
+    h = nghost_for(recon)
+    tz = _pick_tile(NZ, tz)
+    ty = _pick_tile(NY, ty)
+    nzb, nyb = NZ // tz, NY // ty
+    dx1, dx2, dx3 = mesh.dx1, mesh.dx2, mesh.dx3
+
+    def c2p(u):
+        return cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+
+    def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref):
+        gam0, gam1, beta_dt, c_h = sref[0], sref[1], sref[2], sref[3]
+        u0c = u0_ref[...]                 # (1, nvar, tz, ty, NX)
+        hz = hz_ref[...][:, :, 0]         # (1, nvar, 2h, ty, NX)
+        hy = hy_ref[...][:, :, :, 0]      # (1, nvar, tz, 2h, NX)
+        u0f, prim = c2p(u0c)
+        _, pzlo = c2p(hz[:, :, :h])
+        _, pzhi = c2p(hz[:, :, h:])
+        _, pylo = c2p(hy[:, :, :, :h])
+        _, pyhi = c2p(hy[:, :, :, h:])
+        prim_z = jnp.concatenate([pzlo, prim, pzhi], axis=2)
+        prim_y = jnp.concatenate([pylo, prim, pyhi], axis=3)
+        args = (cfg, eos, positivity_mask, recon)
+        nd = _negdiv_slab(*args, 1, dx1, c_h, prim, -1, 0, NX)
+        nd = nd + _negdiv_slab(*args, 2, dx2, c_h, prim_y, -2, h, ty)
+        nd = nd + _negdiv_slab(*args, 3, dx3, c_h, prim_z, -3, h, tz)
+        out_ref[...] = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
+
+    def stage(u0, u1, gam0, gam1, beta_dt, c_h):
+        nb = u0.shape[0]
+        dt_ = u0.dtype
+        s = jnp.stack([jnp.asarray(gam0, dt_), jnp.asarray(gam1, dt_),
+                       jnp.asarray(beta_dt, dt_), jnp.asarray(c_h, dt_)])
+        hz = _halo_slabs(u0, tz, h, 2)   # [nb, nvar, nzb, 2h, NY, NX]
+        hy = _halo_slabs(u0, ty, h, 3)   # [nb, nvar, NZ, nyb, 2h, NX]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nzb, nyb),
+            in_specs=[
+                pl.BlockSpec((1, nvar, tz, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+                pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0, 0)),
+                pl.BlockSpec((1, nvar, tz, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nvar, tz, ty, NX),
+                                   lambda b, i, j, c: (b, 0, i, j, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(u0.shape, dt_),
+            interpret=interpret,
+        )(s, u0, hz, hy, u1)
+
+    return stage
+
+
+def make_fused_negdiv_v2(mesh, cfg, eos, positivity_mask, recon: str,
+                         tz: int = 8, ty: int = 8,
+                         interpret: bool = False):
+    """Transpose-free ``fn(prim, c_h) -> -div(F)`` for 3-D layouts (both
+    ghost-free periodic and ghosted multi-block: the wrap garbage lands
+    in the ghost rim exactly like the XLA roll path).  Same sweeps as
+    ``make_fused_stage`` but prim-in / negdiv-out, for decks that need
+    prim or the raw update elsewhere (FOFC rescue operand, Strang
+    sources)."""
+    from ..recon import nghost_for
+
+    assert mesh.nx2 > 1 and mesh.nx3 > 1
+    NZ, NY, NX = mesh.block_shape
+    nvar = cfg.nvar
+    h = nghost_for(recon)
+    tz = _pick_tile(NZ, tz)
+    ty = _pick_tile(NY, ty)
+    nzb, nyb = NZ // tz, NY // ty
+    dx1, dx2, dx3 = mesh.dx1, mesh.dx2, mesh.dx3
+
+    def kernel(c_h_ref, p_ref, hz_ref, hy_ref, out_ref):
+        c_h = c_h_ref[0]
+        prim = p_ref[...]                 # (1, nvar, tz, ty, NX)
+        hz = hz_ref[...][:, :, 0]
+        hy = hy_ref[...][:, :, :, 0]
+        prim_z = jnp.concatenate([hz[:, :, :h], prim, hz[:, :, h:]], axis=2)
+        prim_y = jnp.concatenate([hy[:, :, :, :h], prim, hy[:, :, :, h:]],
+                                 axis=3)
+        args = (cfg, eos, positivity_mask, recon)
+        nd = _negdiv_slab(*args, 1, dx1, c_h, prim, -1, 0, NX)
+        nd = nd + _negdiv_slab(*args, 2, dx2, c_h, prim_y, -2, h, ty)
+        nd = nd + _negdiv_slab(*args, 3, dx3, c_h, prim_z, -3, h, tz)
+        out_ref[...] = nd
+
+    def negdiv(prim, c_h):
+        nb = prim.shape[0]
+        c_h_arr = jnp.reshape(jnp.asarray(c_h, prim.dtype), (1,))
+        hz = _halo_slabs(prim, tz, h, 2)
+        hy = _halo_slabs(prim, ty, h, 3)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nzb, nyb),
+            in_specs=[
+                pl.BlockSpec((1, nvar, tz, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+                pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nvar, tz, ty, NX),
+                                   lambda b, i, j, c: (b, 0, i, j, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(prim.shape, prim.dtype),
+            interpret=interpret,
+        )(c_h_arr, prim, hz, hy)
+
+    return negdiv
+
+
 def _pick_tile(extent: int, want: int) -> int:
     """Largest divisor of ``extent`` that is <= ``want``."""
     for t in range(min(want, extent), 0, -1):

@@ -150,7 +150,9 @@ def inner_main():
     if pallas:
         os.environ["ATHENAPK_PALLAS_SWEEP"] = "1"
         os.environ["ATHENAPK_DISABLE_X64"] = "1"
-        os.environ.setdefault("ATHENAPK_PALLAS_TY", "32")
+        # tile defaults are per-kernel (v1 lane sweep: ty=32; v2/stage
+        # halo-slab sweeps: tz=ty=8) — set ATHENAPK_PALLAS_TZ/TY only
+        # to override them
     else:
         os.environ.pop("ATHENAPK_PALLAS_SWEEP", None)
     import jax

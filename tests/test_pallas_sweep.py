@@ -272,3 +272,185 @@ def test_smr_fused_matches_xla(monkeypatch, fofc):
         rel = np.abs(b - a).max() / np.abs(a).max()
         assert rel < 2e-5, f"lev {lev}: fused/XLA rel={rel:.2e}"
     assert abs(m1f - m0f) / abs(m0f) < 1e-5
+
+
+def test_negdiv_v2_matches_xla():
+    """Transpose-free v2 sweeps (halo-slab y/z) vs the XLA whole-array
+    path on the ghost-free periodic layout."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver.pallas_sweep import make_fused_negdiv_v2
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(mesh, cfg, eos)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((1, cfg.nvar, n, n, n))
+    w[:, 0] = 1.0 + 0.1 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.2 * np.sin(2 * np.pi * z) * np.ones_like(x + y)
+    w[:, 2] = 0.2 + 0.1 * np.cos(2 * np.pi * x) * np.ones_like(y + z)
+    w[:, 3] = -0.15 + 0.1 * np.sin(2 * np.pi * y) * np.ones_like(x + z)
+    w[:, 4] = 0.6
+    w[:, 5] = 1.0
+    w[:, 6] = 0.5
+    w[:, 7] = 0.1
+    u = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                            "glmmhd")), jnp.float32)
+    _, prim = pkg._cons_to_prim(u)
+    c_h = jnp.asarray(1.3, jnp.float32)
+
+    ref = -np.asarray(pkg._flux_divergence(
+        pkg._compute_fluxes(prim, c_h, "ppm")))
+    fused = make_fused_negdiv_v2(mesh, cfg, eos, pkg._positivity_mask,
+                                 "ppm", tz=8, ty=8, interpret=True)
+    got = np.asarray(fused(prim, c_h))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 3e-3, f"v2 fused sweep deviates: rel={rel:.2e}"
+
+
+def test_negdiv_v2_ghosted_matches_xla():
+    """v2 sweeps on the GHOSTED multi-block layout: halo slabs wrap
+    per-block exactly like the XLA rolls, so interiors agree."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver.pallas_sweep import make_fused_negdiv_v2
+
+    n, mb, g = 16, 8, 3
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=mb, mbnx2=mb, mbnx3=mb,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="ppm", integrator="rk2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(mesh, cfg, eos)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((mesh.nblocks, cfg.nvar) + mesh.block_shape)
+    w[:, 0] = 1.0 + 0.1 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.2 * np.sin(2 * np.pi * z) * np.ones_like(x + y)
+    w[:, 2] = 0.2
+    w[:, 3] = -0.15
+    w[:, 4] = 0.6
+    u = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                            "euler")), jnp.float32)
+    u = pkg.apply_boundaries(u)
+    _, prim = pkg._cons_to_prim(u)
+    c_h = jnp.float32(0.0)
+
+    ref = -np.asarray(pkg._flux_divergence(
+        pkg._compute_fluxes(prim, c_h, "ppm")))
+    fused = make_fused_negdiv_v2(mesh, cfg, eos, pkg._positivity_mask,
+                                 "ppm", tz=7, ty=7, interpret=True)
+    got = np.asarray(fused(prim, c_h))
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+    rel = np.abs(got[sl] - ref[sl]).max() / np.abs(ref[sl]).max()
+    assert rel < 3e-3, f"ghosted v2 sweep deviates: rel={rel:.2e}"
+
+
+def test_fused_stage_kernel_matches_xla():
+    """Whole-stage kernel (cons->prim + 3 sweeps + axpy in one pallas
+    call): matches the composed XLA stage including floors, for euler
+    and GLM-MHD, with distinct u0/u1 (catches gam0/gam1 mix bugs)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver.pallas_sweep import make_fused_stage
+
+    n = 16
+    for fluid, riemann in (("euler", "hllc"), ("glmmhd", "hlld")):
+        mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                    x1min=0, x1max=1, x2min=0, x2max=1, x3min=0,
+                    x3max=1, nghost=0)
+        cfg = HydroConfig(fluid=fluid, riemann=riemann,
+                          reconstruction="ppm", integrator="vl2")
+        eos = EOS(gamma=5.0 / 3.0)
+        pkg = HydroPackage(mesh, cfg, eos)
+        rng = np.random.default_rng(3)
+        w = np.ones((1, cfg.nvar, n, n, n))
+        w[:, 1:4] = 0.3 * rng.standard_normal((1, 3, n, n, n))
+        w[:, 4] = 1.0 + 0.2 * rng.random((1, n, n, n))
+        if fluid == "glmmhd":
+            w[:, 5:8] = 0.2 * rng.standard_normal((1, 3, n, n, n))
+            w[:, 8] = 0.01 * rng.standard_normal((1, n, n, n))
+        u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                                 fluid)), jnp.float32)
+        u1 = u0 * jnp.float32(1.01)
+        c_h = jnp.float32(1.3 if fluid == "glmmhd" else 0.0)
+        gam0, gam1, bdt = (jnp.float32(v) for v in (0.25, 0.75, 1e-3))
+
+        u0f, prim = pkg._cons_to_prim(u0)
+        div = pkg._flux_divergence(pkg._compute_fluxes(prim, c_h, "ppm"))
+        ref = np.asarray(gam0 * u0f + gam1 * u1 - bdt * div)
+
+        st = make_fused_stage(mesh, cfg, eos, pkg._positivity_mask,
+                              "ppm", tz=8, ty=8, interpret=True)
+        got = np.asarray(st(u0, u1, gam0, gam1, bdt, c_h))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-5, f"{fluid} fused stage deviates: rel={rel:.2e}"
+
+
+def test_full_step_fused_stage_matches_xla(monkeypatch):
+    """End-to-end: _step routes through _fused_stage_update when
+    eligible (ghost-free, no FOFC) and matches the XLA step; forcing
+    ATHENAPK_PALLAS_STAGE=0 falls back to the sweep+axpy fused path
+    with the same result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((1, cfg.nvar, n, n, n))
+    w[:, 0] = 1.0 + 0.05 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.1 * np.sin(2 * np.pi * z) * np.ones_like(x + y)
+    w[:, 2] = 0.2
+    w[:, 3] = -0.1
+    w[:, 4] = 0.6
+    w[:, 5] = 1.0
+    w[:, 6] = 0.5
+    w[:, 7] = 0.1
+    u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                             "glmmhd")), jnp.float32)
+    dt, c_h = jnp.float32(1e-3), jnp.float32(1.3)
+
+    monkeypatch.delenv("ATHENAPK_PALLAS_SWEEP", raising=False)
+    monkeypatch.delenv("ATHENAPK_PALLAS_STAGE", raising=False)
+    ref = np.asarray(HydroPackage(mesh, cfg, eos)._step(u0, dt, c_h))
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    pkg_stage = HydroPackage(mesh, cfg, eos)
+    assert pkg_stage._use_fused_stage(jnp.float32)
+    got_stage = np.asarray(pkg_stage._step(u0, dt, c_h))
+    rel = np.abs(got_stage - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"fused stage step deviates: rel={rel:.2e}"
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_STAGE", "0")
+    pkg_nd = HydroPackage(mesh, cfg, eos)
+    assert not pkg_nd._use_fused_stage(jnp.float32)
+    got_nd = np.asarray(pkg_nd._step(u0, dt, c_h))
+    rel = np.abs(got_nd - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"v2 negdiv step deviates: rel={rel:.2e}"
