@@ -260,11 +260,10 @@ class HydroPackage:
             import jax as _jax
             from .pallas_sweep import make_fused_negdiv, make_fused_negdiv_v2
             interp = _jax.default_backend() != "tpu"
-            # v2 (transpose-free halo-slab sweeps) for 3-D layouts;
-            # v1 (lane sweep + transposes) for 1-D/2-D.  ATHENAPK_PALLAS_V2=0
-            # forces v1 everywhere (A/B lever).
-            use_v2 = (self.mesh.nx2 > 1 and self.mesh.nx3 > 1
-                      and os.environ.get("ATHENAPK_PALLAS_V2") != "0")
+            # v2 (transpose-free halo-slab sweeps) everywhere;
+            # ATHENAPK_PALLAS_V2=0 forces the v1 lane-sweep+transpose
+            # kernels (A/B lever).
+            use_v2 = os.environ.get("ATHENAPK_PALLAS_V2") != "0"
             if use_v2:
                 cache[recon] = make_fused_negdiv_v2(
                     self.mesh, self.cfg, self.eos, self._positivity_mask,

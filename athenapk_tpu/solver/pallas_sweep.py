@@ -263,53 +263,64 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
 def make_fused_negdiv_v2(mesh, cfg, eos, positivity_mask, recon: str,
                          tz: int = 8, ty: int = 8,
                          interpret: bool = False):
-    """Transpose-free ``fn(prim, c_h) -> -div(F)`` for 3-D layouts (both
-    ghost-free periodic and ghosted multi-block: the wrap garbage lands
-    in the ghost rim exactly like the XLA roll path).  Same sweeps as
-    ``make_fused_stage`` but prim-in / negdiv-out, for decks that need
-    prim or the raw update elsewhere (FOFC rescue operand, Strang
-    sources)."""
+    """Transpose-free ``fn(prim, c_h) -> -div(F)`` for 1-D/2-D/3-D
+    layouts (both ghost-free periodic and ghosted multi-block: the wrap
+    garbage lands in the ghost rim exactly like the XLA roll path).
+    Same sweeps as ``make_fused_stage`` but prim-in / negdiv-out, for
+    decks that need prim or the raw update elsewhere (FOFC rescue
+    operand, Strang sources).  Inactive dimensions (extent 1) skip
+    their sweep."""
     from ..recon import nghost_for
 
-    assert mesh.nx2 > 1 and mesh.nx3 > 1
     NZ, NY, NX = mesh.block_shape
     nvar = cfg.nvar
     h = nghost_for(recon)
-    tz = _pick_tile(NZ, tz)
-    ty = _pick_tile(NY, ty)
+    do_y = mesh.nx2 > 1
+    do_z = mesh.nx3 > 1
+    tz = _pick_tile(NZ, tz) if do_z else 1
+    ty = _pick_tile(NY, ty) if do_y else 1
     nzb, nyb = NZ // tz, NY // ty
     dx1, dx2, dx3 = mesh.dx1, mesh.dx2, mesh.dx3
 
-    def kernel(c_h_ref, p_ref, hz_ref, hy_ref, out_ref):
+    def kernel(c_h_ref, p_ref, *refs):
         c_h = c_h_ref[0]
         prim = p_ref[...]                 # (1, nvar, tz, ty, NX)
-        hz = hz_ref[...][:, :, 0]
-        hy = hy_ref[...][:, :, :, 0]
-        prim_z = jnp.concatenate([hz[:, :, :h], prim, hz[:, :, h:]], axis=2)
-        prim_y = jnp.concatenate([hy[:, :, :, :h], prim, hy[:, :, :, h:]],
-                                 axis=3)
+        refs = list(refs)
+        hz = refs.pop(0)[...][:, :, 0] if do_z else None
+        hy = refs.pop(0)[...][:, :, :, 0] if do_y else None
+        out_ref = refs.pop(0)
         args = (cfg, eos, positivity_mask, recon)
         nd = _negdiv_slab(*args, 1, dx1, c_h, prim, -1, 0, NX)
-        nd = nd + _negdiv_slab(*args, 2, dx2, c_h, prim_y, -2, h, ty)
-        nd = nd + _negdiv_slab(*args, 3, dx3, c_h, prim_z, -3, h, tz)
+        if do_y:
+            prim_y = jnp.concatenate(
+                [hy[:, :, :, :h], prim, hy[:, :, :, h:]], axis=3)
+            nd = nd + _negdiv_slab(*args, 2, dx2, c_h, prim_y, -2, h, ty)
+        if do_z:
+            prim_z = jnp.concatenate(
+                [hz[:, :, :h], prim, hz[:, :, h:]], axis=2)
+            nd = nd + _negdiv_slab(*args, 3, dx3, c_h, prim_z, -3, h, tz)
         out_ref[...] = nd
 
     def negdiv(prim, c_h):
         nb = prim.shape[0]
         c_h_arr = jnp.reshape(jnp.asarray(c_h, prim.dtype), (1,))
-        hz = _halo_slabs(prim, tz, h, 2)
-        hy = _halo_slabs(prim, ty, h, 3)
+        in_specs = [pl.BlockSpec((1, nvar, tz, ty, NX),
+                                 lambda b, i, j, c: (b, 0, i, j, 0))]
+        operands = [prim]
+        if do_z:
+            operands.append(_halo_slabs(prim, tz, h, 2))
+            in_specs.append(pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
+                                         lambda b, i, j, c:
+                                         (b, 0, i, 0, j, 0)))
+        if do_y:
+            operands.append(_halo_slabs(prim, ty, h, 3))
+            in_specs.append(pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
+                                         lambda b, i, j, c:
+                                         (b, 0, i, j, 0, 0)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb, nzb, nyb),
-            in_specs=[
-                pl.BlockSpec((1, nvar, tz, ty, NX),
-                             lambda b, i, j, c: (b, 0, i, j, 0)),
-                pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
-                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
-                pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
-                             lambda b, i, j, c: (b, 0, i, j, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, nvar, tz, ty, NX),
                                    lambda b, i, j, c: (b, 0, i, j, 0)),
         )
@@ -318,7 +329,7 @@ def make_fused_negdiv_v2(mesh, cfg, eos, positivity_mask, recon: str,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(prim.shape, prim.dtype),
             interpret=interpret,
-        )(c_h_arr, prim, hz, hy)
+        )(c_h_arr, *operands)
 
     return negdiv
 

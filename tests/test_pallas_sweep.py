@@ -454,3 +454,44 @@ def test_full_step_fused_stage_matches_xla(monkeypatch):
     got_nd = np.asarray(pkg_nd._step(u0, dt, c_h))
     rel = np.abs(got_nd - ref).max() / np.abs(ref).max()
     assert rel < 1e-5, f"v2 negdiv step deviates: rel={rel:.2e}"
+
+
+def test_negdiv_v2_2d_matches_xla():
+    """v2 sweeps on a 2-D ghosted layout (inactive z skips its sweep) —
+    the orszag_tang/kh deck shape."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver.pallas_sweep import make_fused_negdiv_v2
+
+    n, g = 16, 3
+    mesh = Mesh(nx1=n, nx2=n, nx3=1, mbnx1=8, mbnx2=8, mbnx3=1,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(mesh, cfg, eos)
+    rng = np.random.default_rng(1)
+    shape = (mesh.nblocks, cfg.nvar) + mesh.block_shape
+    w = np.ones(shape, np.float32)
+    w[:, 1:4] = 0.3 * rng.standard_normal((shape[0], 3) + shape[2:])
+    w[:, 4] = 1.0 + 0.2 * rng.random((shape[0],) + shape[2:])
+    w[:, 5:8] = 0.2 * rng.standard_normal((shape[0], 3) + shape[2:])
+    w[:, 8] = 0.01 * rng.standard_normal((shape[0],) + shape[2:])
+    u = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                            "glmmhd")), jnp.float32)
+    u = pkg.apply_boundaries(u)
+    _, prim = pkg._cons_to_prim(u)
+    c_h = jnp.float32(1.1)
+    ref = -np.asarray(pkg._flux_divergence(
+        pkg._compute_fluxes(prim, c_h, "ppm")))
+    got = np.asarray(make_fused_negdiv_v2(
+        mesh, cfg, eos, pkg._positivity_mask, "ppm",
+        interpret=True)(prim, c_h))
+    sl = (slice(None), slice(None), slice(None), slice(g, -g),
+          slice(g, -g))
+    rel = np.abs(got[sl] - ref[sl]).max() / np.abs(ref[sl]).max()
+    assert rel < 3e-3, f"2-D v2 sweep deviates: rel={rel:.2e}"
