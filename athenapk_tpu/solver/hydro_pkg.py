@@ -284,15 +284,14 @@ class HydroPackage:
     def _use_fused_stage(self, dtype=None):
         """Whole-stage kernel eligibility: everything the fused sweep
         needs, PLUS nothing else in the stage may require materialized
-        prim or raw fluxes — ghost-free periodic layout, no FOFC, no
-        per-stage problem source, and for GLM-MHD only the plain Dedner
-        source (the extended source reads prim B/psi gradients).
-        ``ATHENAPK_PALLAS_STAGE=0`` forces it off."""
+        prim or raw fluxes — 3-D layout (ghost-free or ghosted), no
+        FOFC, no per-stage problem source, and for GLM-MHD only the
+        plain Dedner source (the extended source reads prim B/psi
+        gradients).  ``ATHENAPK_PALLAS_STAGE=0`` forces it off."""
         import os
         if os.environ.get("ATHENAPK_PALLAS_STAGE") == "0":
             return False
         return (self._use_pallas_sweep(dtype)
-                and self.mesh.nghost == 0
                 and self.mesh.nx2 > 1 and self.mesh.nx3 > 1
                 and not self.cfg.first_order_flux_correct
                 and self.problem_source_unsplit is None

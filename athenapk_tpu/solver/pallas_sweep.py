@@ -185,19 +185,22 @@ def _negdiv_slab(cfg, eos, positivity_mask, recon, d, dx, c_h, slab, axis,
 
 def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
                      tz: int = 8, ty: int = 8, interpret: bool = False):
-    """Whole-stage kernel for the ghost-free periodic 3-D layout:
+    """Whole-stage kernel for 3-D layouts:
     ``fn(u0, u1, gam0, gam1, beta_dt, c_h) -> u_new`` computing
 
         u0f, prim = cons_to_prim(u0)            (floors applied)
         u_new = gam0*u0f + gam1*u1 + beta_dt * (-div F(prim))
 
-    bitwise-identically to the XLA path, in one HBM pass.  y and z
-    stencils run on halo-extended slabs in canonical layout (no
-    transposes); x is the periodic lane stencil."""
+    identically to the XLA path, in one HBM pass.  y and z stencils run
+    on halo-extended slabs in canonical layout (no transposes); x is
+    the lane stencil.  On the ghost-free periodic layout the cyclic
+    wrap IS the boundary condition; on ghosted multi-block layouts the
+    wrap garbage lands in the ghost rim and the caller's boundary fill
+    overwrites it (same contract as the XLA roll path)."""
     from ..eos.adiabatic import cons_to_prim
     from ..recon import nghost_for
 
-    assert mesh.nghost == 0 and mesh.nx2 > 1 and mesh.nx3 > 1
+    assert mesh.nx2 > 1 and mesh.nx3 > 1
     NZ, NY, NX = mesh.block_shape
     nvar = cfg.nvar
     h = nghost_for(recon)

@@ -495,3 +495,45 @@ def test_negdiv_v2_2d_matches_xla():
           slice(g, -g))
     rel = np.abs(got[sl] - ref[sl]).max() / np.abs(ref[sl]).max()
     assert rel < 3e-3, f"2-D v2 sweep deviates: rel={rel:.2e}"
+
+
+def test_full_step_fused_stage_ghosted_matches_xla(monkeypatch):
+    """Whole-stage kernel on the GHOSTED multi-block layout: garbage in
+    the ghost rim is overwritten by the boundary fill, interiors match
+    the XLA step."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+
+    n, mb, g = 16, 8, 3
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=mb, mbnx2=mb, mbnx3=mb,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    x, y, z = mesh.cell_centers_mesh()
+    w = np.zeros((mesh.nblocks, 5) + mesh.block_shape)
+    w[:, 0] = 1.0 + 0.1 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y) \
+        * np.ones_like(z)
+    w[:, 1] = 0.3 + 0.2 * np.sin(2 * np.pi * z) * np.ones_like(x + y)
+    w[:, 2] = 0.2
+    w[:, 3] = -0.15
+    w[:, 4] = 0.6
+    u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                             "euler")), jnp.float32)
+    dt, c_h = jnp.float32(1e-3), jnp.float32(0.0)
+
+    monkeypatch.delenv("ATHENAPK_PALLAS_SWEEP", raising=False)
+    pkg_ref = HydroPackage(mesh, cfg, eos)
+    u0 = pkg_ref.apply_boundaries(u0)
+    ref = np.asarray(pkg_ref._step(u0, dt, c_h))
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    pkg_f = HydroPackage(mesh, cfg, eos)
+    assert pkg_f._use_fused_stage(jnp.float32)
+    got = np.asarray(pkg_f._step(u0, dt, c_h))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"ghosted fused stage step deviates: rel={rel:.2e}"
