@@ -298,31 +298,48 @@ class HydroPackage:
                 and (self.cfg.fluid != GLMMHD
                      or self.cfg.glmmhd_source == "dedner_plain"))
 
-    def _fused_stage(self, recon: str):
+    def _use_fused_stage_dt(self, dtype=None):
+        """dt-emitting stage kernel eligibility: the fused stage plus
+        a dt estimate that reduces to the pure hyperbolic CFL over the
+        whole array — ghost-free layout (interior == everything), no
+        diffusion/cooling dt terms, hyperbolic dt enabled."""
+        return (self._use_fused_stage(dtype)
+                and self.mesh.nghost == 0
+                and self.cfg.calc_dt_hyp
+                and not self.diffusion.any_enabled
+                and self.cooling is None)
+
+    def _fused_stage(self, recon: str, emit_dt: bool = False):
         cache = getattr(self, "_fused_stage_cache", None)
         if cache is None:
             cache = self._fused_stage_cache = {}
-        if recon not in cache:
+        key = (recon, emit_dt)
+        if key not in cache:
             import os
             import jax as _jax
             from .pallas_sweep import make_fused_stage
             interp = _jax.default_backend() != "tpu"
-            cache[recon] = make_fused_stage(
+            cache[key] = make_fused_stage(
                 self.mesh, self.cfg, self.eos, self._positivity_mask,
                 recon,
                 tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "8")),
                 ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
-                interpret=interp)
-        return cache[recon]
+                interpret=interp, emit_dt=emit_dt)
+        return cache[key]
 
     def _fused_stage_update(self, u0, u1, gam0, gam1, beta_dt, c_h,
-                            recon: str):
+                            recon: str, emit_dt: bool = False):
         """cons->prim + 3 sweeps + stage axpy in ONE kernel (one HBM
         pass over the state); the cheap pointwise epilogues (Dedner psi
-        damping, cooling, boundary fill) stay outside."""
+        damping, cooling, boundary fill) stay outside.  ``emit_dt``
+        additionally returns the per-tile raw CFL minima of u_new."""
+        raw_dt = None
         with jax.named_scope("fused_stage"):
-            u_new = self._fused_stage(recon)(u0, u1, gam0, gam1,
-                                             beta_dt, c_h)
+            out = self._fused_stage(recon, emit_dt)(u0, u1, gam0, gam1,
+                                                    beta_dt, c_h)
+            u_new = out[0] if emit_dt else out
+            if emit_dt:
+                raw_dt = out[1]
         if self.cfg.fluid == GLMMHD:
             with jax.named_scope("dedner_source"):
                 # plain Dedner source only (gated in _use_fused_stage):
@@ -335,7 +352,7 @@ class HydroPackage:
                 u_new = self.cooling.apply(u_new, beta_dt, self.cfg.fluid)
         with jax.named_scope("boundary_fill"):
             u_new = self.apply_boundaries(u_new)
-        return u_new
+        return (u_new, raw_dt) if emit_dt else u_new
 
     # ----------------------------------------------------------------- fluxes
     def _compute_fluxes(self, prim, c_h, recon: str):
@@ -493,10 +510,12 @@ class HydroPackage:
             u_new = self.apply_boundaries(u_new)
         return u_new
 
-    def _step(self, u, dt, c_h, t=0.0):
+    def _step(self, u, dt, c_h, t=0.0, emit_dt=False):
         """Advance one full cycle (all integrator stages).
 
         ``u`` must enter ghost-filled; returns ghost-filled u(t+dt).
+        ``emit_dt`` (fused-stage-dt path only): the LAST stage kernel
+        also emits per-tile raw CFL minima; returns (u', raw_dt).
         """
         # follow the state dtype (f32 runs keep scalars in f32)
         dt = jnp.asarray(dt, dtype=u.dtype)
@@ -506,25 +525,33 @@ class HydroPackage:
         u0 = u
         u1 = u
         cur_t = t
+        raw_dt = None
         fused_stage = self._use_fused_stage(u.dtype)
+        assert not emit_dt or self._use_fused_stage_dt(u.dtype)
         for s in range(tab["nstages"]):
+            last = s == tab["nstages"] - 1
             recon = cfg.reconstruction
             if cfg.integrator == "vl2" and s == 0:
                 recon = "dc"   # first-order predictor (hydro.cpp:459-464)
             if fused_stage:
                 # cons->prim happens inside the kernel; skip the
                 # separate prim materialization entirely
-                u0 = self._fused_stage_update(u0, u1, tab["gam0"][s],
-                                              tab["gam1"][s],
-                                              tab["beta"][s] * dt, c_h,
-                                              recon)
+                out = self._fused_stage_update(u0, u1, tab["gam0"][s],
+                                               tab["gam1"][s],
+                                               tab["beta"][s] * dt, c_h,
+                                               recon,
+                                               emit_dt=emit_dt and last)
+                if emit_dt and last:
+                    u0, raw_dt = out
+                else:
+                    u0 = out
             else:
                 u0f, prim = self._cons_to_prim(u0)
                 u0 = self._stage_update(u0f, u1, prim,
                                         tab["gam0"][s], tab["gam1"][s],
                                         tab["beta"][s] * dt, c_h, recon,
                                         cur_t)
-        return u0
+        return (u0, raw_dt) if emit_dt else u0
 
     def _advance_cycles(self, u, t, dt, dt_hyp, tlim, n_cycles):
         """Run ``n_cycles`` cycles fully on-device via lax.scan: per-cycle
@@ -560,7 +587,17 @@ class HydroPackage:
 
     def _step_with_dt(self, u, dt, c_h, t=0.0):
         """One cycle + next-dt estimate fused into a single jit (saves a
-        separate cons->prim pass and a dispatch per cycle)."""
+        separate cons->prim pass and a dispatch per cycle).  On the
+        fused-stage-dt path the LAST stage kernel emits the CFL minima
+        directly — no post-step cons->prim / reduction passes at all."""
+        if self._use_fused_stage_dt(u.dtype):
+            u_new, raw = self._step(u, dt, c_h, t, emit_dt=True)
+            dt_hyp = self.cfg.cfl * jnp.min(raw)
+            dt_full = dt_hyp
+            if self.cfg.max_dt > 0.0:
+                dt_full = jnp.minimum(dt_full, self.cfg.max_dt)
+            inf = jnp.asarray(jnp.inf, u.dtype)
+            return u_new, (dt_full, dt_hyp, inf)
         u_new = self._step(u, dt, c_h, t)
         _, prim = self._cons_to_prim(u_new)
         dts = self._estimate_timestep(prim)

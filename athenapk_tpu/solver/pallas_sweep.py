@@ -184,7 +184,8 @@ def _negdiv_slab(cfg, eos, positivity_mask, recon, d, dx, c_h, slab, axis,
 
 
 def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
-                     tz: int = 8, ty: int = 8, interpret: bool = False):
+                     tz: int = 8, ty: int = 8, interpret: bool = False,
+                     emit_dt: bool = False):
     """Whole-stage kernel for 3-D layouts:
     ``fn(u0, u1, gam0, gam1, beta_dt, c_h) -> u_new`` computing
 
@@ -196,11 +197,20 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
     the lane stencil.  On the ghost-free periodic layout the cyclic
     wrap IS the boundary condition; on ghosted multi-block layouts the
     wrap garbage lands in the ghost rim and the caller's boundary fill
-    overwrites it (same contract as the XLA roll path)."""
-    from ..eos.adiabatic import cons_to_prim
+    overwrites it (same contract as the XLA roll path).
+
+    ``emit_dt`` (ghost-free only): additionally converts the freshly
+    computed ``u_new`` tile to prim IN VMEM and emits the per-tile raw
+    hyperbolic CFL minimum ``min_d min(dx_d/(|v_d|+lam_d))`` — the last
+    integrator stage then produces the next cycle's dt without the
+    separate cons->prim + reduction HBM passes
+    (``EstimateTimestep``, ``src/hydro/hydro.cpp:914-976``)."""
+    from ..core.indices import IDN, IPR
+    from ..eos.adiabatic import cons_to_prim, fast_magnetosonic_speed
     from ..recon import nghost_for
 
     assert mesh.nx2 > 1 and mesh.nx3 > 1
+    assert not emit_dt or mesh.nghost == 0  # dt needs interior == all
     NZ, NY, NX = mesh.block_shape
     nvar = cfg.nvar
     h = nghost_for(recon)
@@ -212,7 +222,8 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
     def c2p(u):
         return cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
 
-    def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref):
+    def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref,
+               *dt_refs):
         gam0, gam1, beta_dt, c_h = sref[0], sref[1], sref[2], sref[3]
         u0c = u0_ref[...]                 # (1, nvar, tz, ty, NX)
         hz = hz_ref[...][:, :, 0]         # (1, nvar, 2h, ty, NX)
@@ -228,7 +239,25 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
         nd = _negdiv_slab(*args, 1, dx1, c_h, prim, -1, 0, NX)
         nd = nd + _negdiv_slab(*args, 2, dx2, c_h, prim_y, -2, h, ty)
         nd = nd + _negdiv_slab(*args, 3, dx3, c_h, prim_z, -3, h, tz)
-        out_ref[...] = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
+        u_new = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
+        out_ref[...] = u_new
+        if emit_dt:
+            _, wn = c2p(u_new)
+            rho, p = wn[:, IDN], wn[:, IPR]
+            if cfg.fluid == "glmmhd":
+                from ..core.indices import IB1, IB2, IB3
+                b1, b2, b3 = wn[:, IB1], wn[:, IB2], wn[:, IB3]
+                lams = (fast_magnetosonic_speed(eos, rho, p, b1, b2, b3),
+                        fast_magnetosonic_speed(eos, rho, p, b2, b3, b1),
+                        fast_magnetosonic_speed(eos, rho, p, b3, b1, b2))
+            else:
+                cs = jnp.sqrt(eos.gamma * p / rho)
+                lams = (cs, cs, cs)
+            m = jnp.asarray(jnp.inf, u_new.dtype)
+            for d, dxd in ((1, dx1), (2, dx2), (3, dx3)):
+                m = jnp.minimum(m, jnp.min(
+                    dxd / (jnp.abs(wn[:, d]) + lams[d - 1])))
+            dt_refs[0][0, 0, 0] = m
 
     def stage(u0, u1, gam0, gam1, beta_dt, c_h):
         nb = u0.shape[0]
@@ -237,6 +266,15 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
                        jnp.asarray(beta_dt, dt_), jnp.asarray(c_h, dt_)])
         hz = _halo_slabs(u0, tz, h, 2)   # [nb, nvar, nzb, 2h, NY, NX]
         hy = _halo_slabs(u0, ty, h, 3)   # [nb, nvar, NZ, nyb, 2h, NX]
+        out_specs = pl.BlockSpec((1, nvar, tz, ty, NX),
+                                 lambda b, i, j, c: (b, 0, i, j, 0))
+        out_shape = jax.ShapeDtypeStruct(u0.shape, dt_)
+        if emit_dt:
+            out_specs = (out_specs,
+                         pl.BlockSpec((1, 1, 1),
+                                      lambda b, i, j, c: (b, i, j)))
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((nb, nzb, nyb), dt_))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb, nzb, nyb),
@@ -250,13 +288,12 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
                 pl.BlockSpec((1, nvar, tz, ty, NX),
                              lambda b, i, j, c: (b, 0, i, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, nvar, tz, ty, NX),
-                                   lambda b, i, j, c: (b, 0, i, j, 0)),
+            out_specs=out_specs,
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(u0.shape, dt_),
+            out_shape=out_shape,
             interpret=interpret,
         )(s, u0, hz, hy, u1)
 

@@ -537,3 +537,45 @@ def test_full_step_fused_stage_ghosted_matches_xla(monkeypatch):
     got = np.asarray(pkg_f._step(u0, dt, c_h))
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 1e-5, f"ghosted fused stage step deviates: rel={rel:.2e}"
+
+
+def test_fused_stage_dt_matches_xla(monkeypatch):
+    """dt-emitting stage kernel: step_with_dt on the fused-stage-dt
+    path returns the same dt as the XLA estimate (exact — both reduce
+    the same CFL lattice) and the same state to rounding."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    eos = EOS(gamma=5.0 / 3.0)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2", max_dt=0.5)
+    rng = np.random.default_rng(5)
+    w = np.ones((1, cfg.nvar, n, n, n), np.float32)
+    w[:, 1:4] = 0.3 * rng.standard_normal((1, 3, n, n, n))
+    w[:, 4] = 1.0 + 0.2 * rng.random((1, n, n, n))
+    w[:, 5:8] = 0.2 * rng.standard_normal((1, 3, n, n, n))
+    w[:, 8] = 0.01 * rng.standard_normal((1, n, n, n))
+    u = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                            "glmmhd")), jnp.float32)
+    dt, c_h = jnp.float32(1e-3), jnp.float32(1.2)
+
+    monkeypatch.delenv("ATHENAPK_PALLAS_SWEEP", raising=False)
+    u_ref, dts_ref = HydroPackage(mesh, cfg, eos).step_with_dt(
+        u, dt, c_h, 0.0)
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    pkg_f = HydroPackage(mesh, cfg, eos)
+    assert pkg_f._use_fused_stage_dt(jnp.float32)
+    u_f, dts_f = pkg_f.step_with_dt(u, dt, c_h, 0.0)
+
+    assert float(dts_f[0]) == float(dts_ref[0])
+    assert float(dts_f[1]) == float(dts_ref[1])
+    rel = float(jnp.abs(u_f - u_ref).max() / jnp.abs(u_ref).max())
+    assert rel < 1e-5, f"fused-dt step deviates: rel={rel:.2e}"
