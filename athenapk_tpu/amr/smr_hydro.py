@@ -122,15 +122,27 @@ class SmrHydro:
             cache = self._fused_cache = {}
         key = (recon, lev)
         if key not in cache:
-            from ..solver.pallas_sweep import make_fused_negdiv_faces
+            from ..solver.pallas_sweep import (make_fused_negdiv_faces,
+                                               make_fused_negdiv_faces_v2)
             interp = jax.default_backend() != "tpu"
-            cache[key] = make_fused_negdiv_faces(
-                self.smesh.base.block_shape, self.smesh.dx(lev), self.cfg,
-                self.eos, self._positivity_mask, recon,
-                self.smesh.base.nghost,
-                tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "1")),
-                ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
-                interpret=interp)
+            if os.environ.get("ATHENAPK_PALLAS_V2") != "0":
+                # transpose-free halo-slab sweeps (face planes captured
+                # at static local tile indices)
+                cache[key] = make_fused_negdiv_faces_v2(
+                    self.smesh.base.block_shape, self.smesh.dx(lev),
+                    self.cfg, self.eos, self._positivity_mask, recon,
+                    self.smesh.base.nghost,
+                    tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "8")),
+                    ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
+                    interpret=interp)
+            else:
+                cache[key] = make_fused_negdiv_faces(
+                    self.smesh.base.block_shape, self.smesh.dx(lev),
+                    self.cfg, self.eos, self._positivity_mask, recon,
+                    self.smesh.base.nghost,
+                    tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "1")),
+                    ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
+                    interpret=interp)
         return cache[key]
 
     def _slabs_from_fluxes(self, fluxes):

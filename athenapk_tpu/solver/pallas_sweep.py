@@ -374,6 +374,121 @@ def make_fused_negdiv_v2(mesh, cfg, eos, positivity_mask, recon: str,
     return negdiv
 
 
+def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
+                               recon: str, g: int, tz: int = 8,
+                               ty: int = 8, interpret: bool = False):
+    """Transpose-free correction-aware sweeps for ghosted 3-D blocks:
+    ``fn(prim, c_h) -> (negdiv, {d: faces})`` with ``faces[d]`` of
+    shape [nb, nvar, A, B, 2] — the Riemann fluxes at the block-interior
+    boundary faces (sweep index ``g`` and ``g + n_int``), exactly the
+    v1 ``make_fused_negdiv_faces`` contract that feeds the coarse-fine
+    flux correction (``amr/smr_hydro._slab_flux_correct``).
+
+    Face capture without transposes or dynamic slicing: the face plane
+    at global sweep index G lives in tile ``G // t`` at STATIC local
+    slab index ``h + G % t``, so every tile writes its candidate planes
+    and the XLA epilogue keeps only the owner tiles' blocks."""
+    from ..recon import nghost_for
+
+    NZ, NY, NX = block_shape
+    nvar = cfg.nvar
+    h = nghost_for(recon)
+    tz = _pick_tile(NZ, tz)
+    ty = _pick_tile(NY, ty)
+    nzb, nyb = NZ // tz, NY // ty
+    dx1, dx2, dx3 = dx[0], dx[1], dx[2]
+    nxi, nyi, nzi = NX - 2 * g, NY - 2 * g, NZ - 2 * g
+    # owner tiles + static local slab indices of the lo/hi face planes
+    ylo_t, ylo_i = g // ty, h + g % ty
+    yhi_t, yhi_i = (g + nyi) // ty, h + (g + nyi) % ty
+    zlo_t, zlo_i = g // tz, h + g % tz
+    zhi_t, zhi_i = (g + nzi) // tz, h + (g + nzi) % tz
+
+    def _sweep(slab, axis, d, dxd, c_h):
+        qm, qp = reconstruct(recon, slab, axis, dxd,
+                             positivity_mask=positivity_mask)
+        wl = jnp.roll(qp, 1, axis=axis)
+        F = solve_riemann(cfg.riemann, cfg.fluid, eos, wl, qm, d,
+                          c_h=c_h, nscalars=cfg.nscalars)
+        return F, -(jnp.roll(F, -1, axis=axis) - F) / dxd
+
+    def kernel(c_h_ref, p_ref, hz_ref, hy_ref, out_ref, fx_ref, fy_ref,
+               fz_ref):
+        c_h = c_h_ref[0]
+        prim = p_ref[...]                 # (1, nvar, tz, ty, NX)
+        hz = hz_ref[...][:, :, 0]
+        hy = hy_ref[...][:, :, :, 0]
+        prim_z = jnp.concatenate([hz[:, :, :h], prim, hz[:, :, h:]],
+                                 axis=2)
+        prim_y = jnp.concatenate([hy[:, :, :, :h], prim, hy[:, :, :, h:]],
+                                 axis=3)
+        Fx, nd = _sweep(prim, -1, 1, dx1, c_h)
+        Fy, ndy = _sweep(prim_y, -2, 2, dx2, c_h)
+        Fz, ndz = _sweep(prim_z, -3, 3, dx3, c_h)
+        out_ref[...] = (nd + ndy[:, :, :, h:h + ty]
+                        + ndz[:, :, h:h + tz])
+        fx_ref[...] = jnp.stack([Fx[..., g], Fx[..., g + nxi]], axis=-1)
+        # (1, nvar, tz, 2, NX) -> (1, nvar, tz, 2, 1, NX)
+        fy_ref[...] = jnp.stack([Fy[:, :, :, ylo_i], Fy[:, :, :, yhi_i]],
+                                axis=3)[:, :, :, :, None, :]
+        # (1, nvar, 2, ty, NX) -> (1, nvar, 1, 2, ty, NX)
+        fz_ref[...] = jnp.stack([Fz[:, :, zlo_i], Fz[:, :, zhi_i]],
+                                axis=2)[:, :, None]
+
+    def negdiv_faces(prim, c_h):
+        nb = prim.shape[0]
+        c_h_arr = jnp.reshape(jnp.asarray(c_h, prim.dtype), (1,))
+        hz = _halo_slabs(prim, tz, h, 2)
+        hy = _halo_slabs(prim, ty, h, 3)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nzb, nyb),
+            in_specs=[
+                pl.BlockSpec((1, nvar, tz, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+                pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0, 0)),
+            ],
+            out_specs=(
+                # negdiv
+                pl.BlockSpec((1, nvar, tz, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+                # x faces: every tile owns its (z, y) patch
+                pl.BlockSpec((1, nvar, tz, ty, 2),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+                # y candidates per (iz, jy): [nb, nvar, NZ, 2, nyb, NX]
+                pl.BlockSpec((1, nvar, tz, 2, 1, NX),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                # z candidates per (iz, jy): [nb, nvar, nzb, 2, NY, NX]
+                pl.BlockSpec((1, nvar, 1, 2, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+            ),
+        )
+        nd, fx, fy, fz = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(prim.shape, prim.dtype),
+                jax.ShapeDtypeStruct((nb, nvar, NZ, NY, 2), prim.dtype),
+                jax.ShapeDtypeStruct((nb, nvar, NZ, 2, nyb, NX),
+                                     prim.dtype),
+                jax.ShapeDtypeStruct((nb, nvar, nzb, 2, NY, NX),
+                                     prim.dtype),
+            ),
+            interpret=interpret,
+        )(c_h_arr, prim, hz, hy)
+        # keep only the owner tiles' candidate planes
+        slab_y = jnp.stack([fy[:, :, :, 0, ylo_t], fy[:, :, :, 1, yhi_t]],
+                           axis=-1)                 # [nb, nvar, NZ, NX, 2]
+        slab_z = jnp.stack([fz[:, :, zlo_t, 0], fz[:, :, zhi_t, 1]],
+                           axis=-1)                 # [nb, nvar, NY, NX, 2]
+        return nd, {1: fx, 2: slab_y, 3: slab_z}
+
+    return negdiv_faces
+
+
 def _pick_tile(extent: int, want: int) -> int:
     """Largest divisor of ``extent`` that is <= ``want``."""
     for t in range(min(want, extent), 0, -1):

@@ -74,6 +74,9 @@ def _run_ring(iprob, res, integrator, thin=8):
     w = np.asarray(sim.prim()[sim.mesh.interior_slices])
     T = w[:, 4].ravel()  # gamma = 2, rho = 1 -> p = e = T
     x, y, z = sim.mesh.cell_centers_mesh()
+    ks, ke, js, je, is_, ie = sim.mesh.interior
+    xyz = np.broadcast_arrays(x, y, z)
+    x, y, z = (q[:, ks:ke + 1, js:je + 1, is_:ie + 1] for q in xyz)
     ab = {20: (x, y), 21: (y, z), 22: (z, x)}[iprob]
     r = np.sqrt(ab[0] ** 2 + ab[1] ** 2).ravel()
     T_ref = np.where(np.abs(r - 0.6) < 0.1, 10.1667, 10.0)
@@ -85,10 +88,11 @@ def _run_ring(iprob, res, integrator, thin=8):
 @pytest.mark.slow
 def test_ring_convergence_rkl2():
     """L1/L2 errors vs the pure-diffusion end state converge with
-    resolution (reference gates: L1 rate <= -0.53, L2 rate <= -0.35
-    over 32..256; we fit 32..128) and limiting keeps T >= background
-    (min T < 10 fails, ``aniso_therm_cond_ring_conv.py:104-125``)."""
-    res_cfgs = [32, 64, 128]
+    resolution — the reference gates verbatim (L1 rate <= -0.53,
+    L2 rate <= -0.35, L2@256 <= 0.0264 over 32..256,
+    ``aniso_therm_cond_ring_conv.py:104-125``) — and limiting keeps
+    T >= background (min T < 10 fails)."""
+    res_cfgs = [32, 64, 128, 256]
     errs = []
     for res in res_cfgs:
         T, L1, L2 = _run_ring(20, res, "rkl2", thin=None)
@@ -100,9 +104,7 @@ def test_ring_convergence_rkl2():
     l2_rate = np.polyfit(np.log(res_cfgs), np.log(errs[:, 1]), 1)[0]
     assert l1_rate < -0.53, f"L1 not converging: rate {l1_rate:.2f}"
     assert l2_rate < -0.35, f"L2 not converging: rate {l2_rate:.2f}"
-    # reference curve (Balsara, Tilley & Howk 2007) has L2 ~ 0.0343 at
-    # 128; stay within ~15% of it
-    assert errs[-1, 1] < 0.040, f"L2@128 too large: {errs[-1, 1]:.4f}"
+    assert errs[-1, 1] < 0.0264, f"L2@256 too large: {errs[-1, 1]:.4f}"
 
 
 @pytest.mark.slow
