@@ -229,6 +229,24 @@ def main():
     # TPU f64 is emulated via f32-pair rewriting with pathological compile
     # times; the production TPU path runs f32 (correctness gates run f64 on
     # CPU in tests/).  Override with BENCH_DTYPE=float64.
+    #
+    # The TPU attempt is a LADDER of independently-bounded children, from
+    # fastest-but-newest kernel to most-proven, with a liveness re-probe
+    # between rungs (a Pallas device fault can wedge the tunnel; the next
+    # rung must not inherit a dead backend):
+    #   1. stage-fused  (whole 2S stage + dt in one kernel)
+    #   2. v1 lane-sweep (ATHENAPK_PALLAS_STAGE=0 ATHENAPK_PALLAS_V2=0 —
+    #      the round-2-proven 2.4e8 path)
+    #   3. pure XLA f32  (BENCH_PALLAS=0)
+    # The whole run honors BENCH_TOTAL_BUDGET (default 1020 s) so the
+    # JSON line always lands inside the driver's window.
+    t0 = time.time()
+    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "1020"))
+    cpu_reserve = int(os.environ.get("BENCH_CPU_TIMEOUT", "300"))
+
+    def remaining():
+        return budget - (time.time() - t0)
+
     probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "45"))
     retries = int(os.environ.get("BENCH_TPU_RETRIES", "3"))
     wait = int(os.environ.get("BENCH_TPU_WAIT", "20"))
@@ -241,22 +259,32 @@ def main():
         time.sleep(wait)
         alive = _tpu_alive(probe_timeout)
 
+    rungs = [
+        ("tpu stage-fused", {}, 420),
+        ("tpu v1 lane-sweep", {"ATHENAPK_PALLAS_STAGE": "0",
+                               "ATHENAPK_PALLAS_V2": "0"}, 300),
+        ("tpu xla", {"BENCH_PALLAS": "0"}, 240),
+    ]
     result = None
-    if alive:
-        tpu_timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "1080"))
-        log("TPU alive — running TPU bench "
-            f"(timeout {tpu_timeout}s)")
-        result = _run_child({"_BENCH_NOTE": "tpu"}, tpu_timeout)
-        if result is None:
-            log("TPU bench attempt failed — falling back to CPU")
-    else:
-        log("TPU unavailable (tunnel wedged?) — falling back to CPU")
-
+    for note, env, cap in rungs:
+        if not alive:
+            break
+        t_child = min(cap, remaining() - cpu_reserve)
+        if t_child < 90:
+            log(f"budget exhausted before rung '{note}'")
+            break
+        log(f"TPU alive — running '{note}' (timeout {t_child:.0f}s)")
+        result = _run_child({"_BENCH_NOTE": note, **env}, t_child)
+        if result is not None:
+            break
+        log(f"rung '{note}' failed — re-probing tunnel")
+        alive = _tpu_alive(min(probe_timeout, max(10, remaining()
+                                                  - cpu_reserve)))
     if result is None:
+        log("all TPU rungs failed/skipped — falling back to CPU")
         # Small CPU run so the JSON line is ALWAYS emitted in-budget.
         # Force the XLA path: the fused Pallas path would run in
         # interpret mode on CPU (pathologically slow, not comparable).
-        cpu_timeout = int(os.environ.get("BENCH_CPU_TIMEOUT", "480"))
         n_cpu = min(int(os.environ.get("BENCH_N", "256")), 64)
         result = _run_child({
             "JAX_PLATFORMS": "cpu",
@@ -266,7 +294,7 @@ def main():
             "BENCH_PALLAS": "0",
             "ATHENAPK_PALLAS_SWEEP": "0",
             "_BENCH_NOTE": "cpu-fallback",
-        }, cpu_timeout)
+        }, max(240, remaining()))
 
     if result is None:
         print(json.dumps({"metric": "zone-cycles/s (3D MHD HLLD+PPM)",
