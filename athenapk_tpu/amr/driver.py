@@ -194,16 +194,15 @@ class SmrSimulation:
                     self.state = self._generate_state()
                 self.driver._deref_counts = {}
 
-        # tracers (per-level swarm buffers; static refinement only, the
-        # reference rejects adaptive too — tracers.cpp:77-79)
+        # tracers (per-level swarm buffers).  Adaptive meshes are
+        # SUPPORTED here — the reference rejects them
+        # (tracers.cpp:77-79); positions are global, so every remesh
+        # re-bins the population onto the new topology
+        # (SmrTracers.adopt in the run loop).
         from ..tracers.smr_tracers import SmrTracers
-        self.tracers = SmrTracers(pin, self.smesh, self.cfg)
+        self.tracers = SmrTracers(pin, self._smesh_now(), self.cfg)
         self.tracer_state = None
         if self.tracers.enabled:
-            if self.adaptive:
-                raise ValueError("Tracers/swarms currently only supported "
-                                 "on non-adaptive meshes (matches "
-                                 "reference tracers.cpp)")
             if self.is_restart and "tracers" in restart:
                 tr = restart["tracers"]
                 self.tracer_state = {
@@ -428,6 +427,15 @@ class SmrSimulation:
                 self.state, changed = self.driver.maybe_remesh(self.state)
                 if changed and self.ncycle_out_mesh < 0 and not self.quiet:
                     print_mesh()
+                if changed and self.tracer_state is not None:
+                    # re-bin the tracer population onto the new
+                    # topology (exceeds the reference, which rejects
+                    # adaptive tracers — tracers.cpp:77-79)
+                    from ..tracers.smr_tracers import SmrTracers
+                    self.tracers = SmrTracers(self.pin, self.driver.smesh,
+                                              self.cfg)
+                    self.tracer_state = self.tracers.adopt(
+                        self.tracer_state)
             st = self._stepper_now()
             if st.sts:
                 dt_j, dt_diff_j = st.estimate_dt_with_diff(self.state)

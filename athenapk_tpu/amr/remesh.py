@@ -32,6 +32,7 @@ computed host-side; the data never round-trips through host numpy.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.amr_forest import COPY, PROLONG, RESTRICT
@@ -205,6 +206,143 @@ class _PaddedStepper:
         return self._inner.total_mass(self._slice(state))
 
 
+class _FlatStepper:
+    """Flat leaf-axis adapter around ``SmrHydro`` — exact ±1 balance.
+
+    The slot-padded layout (``_PaddedStepper``) bounds imbalance by one
+    CHUNK per level: when a level's count doesn't divide the device
+    count, up to D-1 real leaves separate the fullest and emptiest
+    device.  This adapter instead concatenates ALL levels' leaves into
+    ONE leaf-major array of ``D * ceil(N/D)`` rows and deals them so
+    device ``i`` holds ``N//D + (i < N%D)`` REAL leaves (its remaining
+    rows are untouched pads) — the TPU analog of Parthenon's SFC chunk
+    load balancing (``parthenon/src/mesh/mesh.cpp``
+    LoadBalancingAndAdaptiveMeshRefinement), with the ±1 guarantee the
+    per-level layout cannot give.
+
+    Every stepper entry point gathers each level's rows at STATIC
+    indices inside the jit (XLA lowers the row gather to a copy /
+    collective-permute), runs the per-level step, and maps the results
+    back with a static inverse-permutation gather.  Real-row results
+    match the unsharded run bitwise in most configurations; XLA may
+    fuse (FMA-contract) differently across the reshard boundary, so
+    the guaranteed contract is ≤1 ulp — use ``layout="padded"`` where
+    strict bitwise reproducibility matters more than exact balance.
+    """
+
+    def __init__(self, inner: SmrHydro, owner: "AmrHydro"):
+        import jax as _jax
+
+        self._inner = inner
+        self._owner = owner
+        self.smesh = inner.smesh
+        self.cfg = inner.cfg
+        self.sts = inner.sts
+        self.diffusion = inner.diffusion
+        D = owner._ndev()
+        self._levels = sorted(inner.smesh.level_ids)
+        counts = {lev: len(inner.smesh.level_ids[lev])
+                  for lev in self._levels}
+        self._counts = counts
+        N = sum(counts.values())
+        s = -(-N // D)
+        self._N, self._nrows = N, D * s
+        # balanced deal: device i owns rows [i*s, (i+1)*s) and holds
+        # n_i = N//D + (i < N%D) real leaves at its first n_i rows
+        n = np.full(D, N // D, np.int64)
+        n[: N % D] += 1
+        r_of_k = np.concatenate(
+            [np.arange(n[i]) + i * s for i in range(D)])
+        self._r_of_k = r_of_k                       # global leaf k -> row
+        idx, o = {}, 0
+        for lev in self._levels:
+            idx[lev] = jnp.asarray(r_of_k[o:o + counts[lev]])
+            o += counts[lev]
+        self._idx = idx
+        # inverse: row -> index into (real rows ++ pad source rows)
+        inv = np.zeros(D * s, np.int64)
+        inv[r_of_k] = np.arange(N)
+        pad_rows = np.setdiff1d(np.arange(D * s), r_of_k)
+        inv[pad_rows] = N + np.arange(pad_rows.size)
+        self._inv = jnp.asarray(inv)
+        self._npad = int(pad_rows.size)
+        self.step = self._entry(inner._step)
+        self.sts_half_step = self._entry(inner.sts_half_step)
+        self._dt_j = _jax.jit(
+            lambda f: inner.estimate_dt(self._split(f)))
+
+    def _split(self, flat):
+        # pin each level's rows back onto the leaf axis of the device
+        # mesh: keeps the partitioned compute pattern (and hence XLA's
+        # fusion/FMA choices) identical to the per-level layouts, so
+        # real-row results stay bitwise-equal to the unsharded run
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shd = NamedSharding(self._owner.sharding.mesh, P("blocks"))
+        return {lev: jax.lax.with_sharding_constraint(
+            flat[self._idx[lev]], shd) for lev in self._levels}
+
+    def _join(self, state):
+        rows = jnp.concatenate([state[lev] for lev in self._levels],
+                               axis=0)
+        if self._npad:
+            # pads replicate row 0 (benign finite data, never computed on)
+            rows = jnp.concatenate(
+                [rows, jnp.broadcast_to(rows[:1],
+                                        (self._npad,) + rows.shape[1:])],
+                axis=0)
+        return rows[self._inv]
+
+    def _entry(self, fn):
+        import jax as _jax
+
+        jfn = _jax.jit(lambda flat, *a: self._join(fn(self._split(flat),
+                                                      *a)))
+        return lambda state, *a: jfn(self._ensure(state), *a)
+
+    def _ensure(self, state):
+        return self.place(state) if isinstance(state, dict) else state
+
+    def place(self, state):
+        """dict or flat -> flat array pinned to the device mesh."""
+        import jax as _jax
+
+        if isinstance(state, dict):
+            state = self._join({lev: v[:self._counts[lev]]
+                                for lev, v in state.items()})
+        return _jax.device_put(state, self._owner.sharding)
+
+    def exact(self, state):
+        """dict or flat -> {level: [n_leaves_lev, ...]} exact views.
+
+        The flat path materializes on HOST first: eagerly-dispatched
+        ops on a multi-device sharded array launch per-device collective
+        programs whose thread rendezvous can deadlock outside jit (seen
+        as an XLA CPU all-reduce rendezvous abort).  ``exact`` feeds
+        host-side events only (tagging, remesh transfers, IO), so the
+        device->host round trip is the correct boundary; compute stays
+        inside the jitted entry points."""
+        if isinstance(state, dict):
+            return {lev: v[:self._counts[lev]]
+                    for lev, v in state.items()}
+        flat = np.asarray(jax.device_get(state))
+        out, o = {}, 0
+        for lev in self._levels:
+            c = self._counts[lev]
+            out[lev] = jnp.asarray(flat[self._r_of_k[o:o + c]])
+            o += c
+        return out
+
+    def estimate_dt(self, state):
+        return self._dt_j(self._ensure(state))
+
+    def estimate_dt_with_diff(self, state, dt_hyp=None):
+        return self._inner.estimate_dt_with_diff(
+            self._split(self._ensure(state)), dt_hyp=dt_hyp)
+
+    def total_mass(self, state):
+        return self._inner.total_mass(self._split(self._ensure(state)))
+
+
 class AmrHydro:
     """Adaptive-mesh hydro driver: step + periodic retag/remesh.
 
@@ -216,7 +354,8 @@ class AmrHydro:
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
                  check_interval=1, derefine_count=10, cooling=None,
                  diffusion=None, problem_source_factory=None,
-                 sharding=None, custom_bcs=None, problem_check=None):
+                 sharding=None, custom_bcs=None, problem_check=None,
+                 layout="flat"):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
@@ -228,6 +367,12 @@ class AmrHydro:
         # of Parthenon's AMR load balancing: leaves are laid out in the
         # forest's SFC order and dealt to devices in contiguous chunks)
         self.sharding = sharding
+        # leaf-axis layout under sharding: "flat" (default — one
+        # leaf-major array over all levels, exact ±1 real-leaf balance)
+        # or "padded" (per-level slot padding, chunk-bounded balance)
+        if layout not in ("flat", "padded"):
+            raise ValueError(f"unknown AMR layout {layout!r}")
+        self.layout = layout
         self.custom_bcs = custom_bcs
         # pgen per-block refinement check (ProblemCheckRefinementBlock,
         # reference main.cpp:76-77): fn(prim, base) -> [nblocks] tags,
@@ -265,7 +410,8 @@ class AmrHydro:
                           problem_source_unsplit=src,
                           custom_bcs=self.custom_bcs)
             if self.sharding is not None:
-                st = _PaddedStepper(st, self)
+                st = (_FlatStepper(st, self) if self.layout == "flat"
+                      else _PaddedStepper(st, self))
             self._steppers[sig] = st
         return st
 
@@ -354,13 +500,17 @@ class AmrHydro:
         return -(-c // D) * D
 
     def _place(self, state):
-        """Slot-pad each level's leaf axis to a multiple of the device
-        count and pin it to the device mesh.  Idempotent:
-        already-padded levels are re-placed as-is.  Pad rows duplicate
-        row 0 (benign finite data); they are sliced off inside every
-        stepper entry point and by ``exact_state``."""
+        """Pin the leaf population to the device mesh.  Layout "flat":
+        one leaf-major array over all levels, dealt for exact ±1
+        real-leaf balance (``_FlatStepper.place``).  Layout "padded":
+        slot-pad each level's leaf axis to a multiple of the device
+        count.  Idempotent either way.  Pad rows duplicate row 0
+        (benign finite data); they are never computed on and are
+        stripped by ``exact_state``."""
         if self.sharding is None:
             return state
+        if self.layout == "flat":
+            return self._stepper.place(state)
         import jax
         counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
         out = {}
@@ -373,16 +523,29 @@ class AmrHydro:
         return out
 
     def exact_state(self, state):
-        """Strip slot padding -> {level: [n_leaves_lev, ...]} views."""
+        """Strip padding -> {level: [n_leaves_lev, ...]} exact views
+        (flat layout: per-level static row gathers)."""
+        if not isinstance(state, dict):
+            return self._stepper.exact(state)
         counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
         return {lev: v[:counts[lev]] if v.shape[0] != counts[lev] else v
                 for lev, v in state.items()}
 
     def device_leaf_counts(self, state):
-        """Actual per-device REAL-leaf totals (balance diagnostic):
-        counts rows below each level's exact leaf count per shard."""
-        counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
+        """Actual per-device REAL-leaf totals (balance diagnostic)."""
         out = {}
+        if not isinstance(state, dict):
+            st = self._stepper
+            real = np.zeros(state.shape[0], bool)
+            real[st._r_of_k] = True
+            for sh in state.addressable_shards:
+                lo = sh.index[0].start or 0
+                hi = sh.index[0].stop if sh.index[0].stop is not None \
+                    else state.shape[0]
+                out[sh.device] = out.get(sh.device, 0) \
+                    + int(real[lo:hi].sum())
+            return out
+        counts = {lev: len(ids) for lev, ids in self.smesh.level_ids.items()}
         for lev, v in state.items():
             c = counts[lev]
             for sh in v.addressable_shards:

@@ -241,6 +241,67 @@ class SmrTracers:
         n_overflow = (jnp.sum(key_s < tot) - jnp.sum(valid)).astype(jnp.int32)
         return out, n_lost + n_overflow
 
+    # ----------------------------------------------------------------- adopt
+    def adopt(self, state):
+        """Re-bin an existing tracer population onto THIS mesh topology.
+
+        Adaptive-remesh support — this EXCEEDS the reference, which
+        rejects tracers on adaptive meshes outright
+        (``src/tracers/tracers.cpp:77-79``).  Positions are global
+        coordinates, so after a remesh the new topology's tracer object
+        adopts the old state: compact every level's buffers into one
+        pool, route each active particle to its destination leaf with
+        the NEW ownership tables (finest level covering the position
+        wins), and pack per-leaf slots with one stable sort — the same
+        static-shape machinery as per-cycle migration.  Identity,
+        position, and field samples are preserved exactly; a particle
+        whose position has no leaf (cannot happen on a covering forest)
+        or that overflows a leaf's capacity counts as lost.
+        """
+        if state is None:
+            return None
+        old_levels = state["levels"]
+        cap = next(iter(old_levels.values()))["x"].shape[1]
+        self.cap = cap
+        names = ["x", "y", "z", "id", "active"] + self._field_names()
+        pool = {k: jnp.concatenate(
+            [old_levels[lev][k].reshape(-1) for lev in sorted(old_levels)])
+            for k in names}
+
+        tot = self.total_leaves
+        n = tot * cap
+        npool = pool["x"].shape[0]
+        dest = self._dest_col(pool["x"][None], pool["y"][None],
+                              pool["z"][None])[0]
+        key = jnp.where(pool["active"] & (dest >= 0), dest, tot) \
+            .astype(jnp.int32)
+        ops = [pool[k] for k in names]
+        sorted_ops = jax.lax.sort([key] + ops, num_keys=1, is_stable=True)
+        key_s, ops_s = sorted_ops[0], sorted_ops[1:]
+
+        counts = jnp.bincount(key, length=tot + 1)
+        starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                                  jnp.cumsum(counts)[:-1]])
+        slot = jnp.arange(npool) - starts[key_s]
+        valid = (key_s < tot) & (slot < cap)
+        out_pos = jnp.where(valid, key_s * cap + slot, n)
+
+        per_level = {lev: {} for lev in self.levels}
+        for k, q in zip(names, ops_s):
+            if k == "active":
+                newq = jnp.zeros(n, bool).at[out_pos].set(valid,
+                                                          mode="drop")
+            else:
+                newq = jnp.zeros(n, q.dtype).at[out_pos].set(q,
+                                                             mode="drop")
+            for lev in self.levels:
+                o = self._leaf_off[lev] * cap
+                nb = len(self.smesh.level_ids[lev])
+                per_level[lev][k] = newq[o:o + nb * cap].reshape(nb, cap)
+        n_lost = state["n_lost"] + (jnp.sum(key_s < tot)
+                                    - jnp.sum(valid)).astype(jnp.int32)
+        return {"levels": per_level, "n_lost": n_lost}
+
     # ---------------------------------------------------------------- advect
     def _advect_impl(self, state, prims, dt):
         """Heun per level with the stored velocity as predictor, then

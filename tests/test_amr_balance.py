@@ -44,7 +44,7 @@ def _mk_amr(sharding):
                                    reconstruction="plm", integrator="rk2"),
                    eos, RefinementConfig(method="maxdensity",
                                          maxdensity_refine_above=1e30),
-                   sharding=sharding)
+                   sharding=sharding, layout="padded")
     return amr, eos
 
 

@@ -407,12 +407,23 @@ def test_sharded_adaptive_remesh_bitwise():
 
     assert amr_b.smesh.levels.size == amr_a.smesh.levels.size
     assert amr_b.smesh.max_level > 0  # remesh actually refined
-    # the dominant level must stay distributed over the device mesh
-    # (small levels may legitimately be replicated by GSPMD layout)
-    big = max(st_b, key=lambda lev: st_b[lev].shape[0])
-    assert st_b[big].sharding.spec == P("blocks"), \
-        f"level {big} lost its sharding across remesh"
+    # flat leaf-axis layout (the sharded default): one leaf-major array
+    # distributed over the device mesh with exact ±1 real-leaf balance
+    assert not isinstance(st_b, dict)
+    assert st_b.sharding.spec == P("blocks"), \
+        "flat leaf array lost its sharding across remesh"
+    dl = amr_b.device_leaf_counts(st_b)
+    vals = sorted(dl.values())
+    assert sum(vals) == amr_b.smesh.levels.size
+    assert vals[-1] - vals[0] <= 1, f"imbalance: {vals}"
+    ex_b = amr_b.exact_state(st_b)
     for lev in st_a:
-        np.testing.assert_array_equal(np.asarray(st_a[lev]),
-                                      np.asarray(st_b[lev]),
-                                      err_msg=f"level {lev}")
+        # flat layout contract: f64 roundoff of the unsharded run (XLA
+        # may FMA-contract differently across the reshard boundary —
+        # 1-ulp-of-operand cancellation residues where momenta cancel
+        # to ~0; the padded layout keeps strict bitwise —
+        # test_amr_balance)
+        np.testing.assert_allclose(np.asarray(st_a[lev]),
+                                   np.asarray(ex_b[lev]),
+                                   rtol=1e-12, atol=1e-13,
+                                   err_msg=f"level {lev}")
