@@ -151,6 +151,15 @@ class SmrSimulation:
         if src_hook is not None:
             cfg_, eos_ = self.cfg, self.eos
             src_factory = lambda sm: src_hook(pin, sm, cfg_, eos_)  # noqa: E731
+        # fail fast instead of silently dropping deck semantics (the
+        # reference wires split sources for every mesh,
+        # hydro_driver.cpp:469,548-561)
+        for hook in ("problem_source_first_order", "problem_source_strang"):
+            if getattr(self.pgen, hook, None) is not None:
+                raise NotImplementedError(
+                    f"{hook} ({self.pgen.__name__}) is not supported on "
+                    "refined meshes yet; run this problem on a uniform "
+                    "mesh or add an SMR-aware source hook")
 
         if self.adaptive:
             rcfg = RefinementConfig.from_parameter_input(pin)

@@ -145,6 +145,49 @@ class SmrHydro:
                     interpret=interp)
         return cache[key]
 
+    def _use_stage_fused(self):
+        """Whole-stage fusion rung of the eligibility ladder on refined
+        meshes: v2 kernels, 3-D blocks, no FOFC (its lax.cond rescue
+        consumes the unfused prim/u0f operands).  Prim-consuming
+        problem sources and the extended Dedner source are SERVED (the
+        kernel emits prim) — unlike the uniform-path stage rung, which
+        excludes them (``hydro_pkg._use_fused_stage``)."""
+        import os
+        b = self.smesh.base
+        return (os.environ.get("ATHENAPK_PALLAS_V2") != "0"
+                and os.environ.get("ATHENAPK_PALLAS_STAGE") != "0"
+                and not self.cfg.first_order_flux_correct
+                and b.nx2 > 1 and b.nx3 > 1)
+
+    def _need_prim(self):
+        """Does anything outside the stage kernel consume prim?"""
+        return (self.problem_source_unsplit is not None
+                or (self.cfg.fluid == GLMMHD
+                    and self.cfg.glmmhd_source == "dedner_extended"))
+
+    def _fused_stage_faces(self, recon, lev, emit_prim):
+        """Per-(recon, level) whole-stage + face-capture kernel:
+        cons->prim (floors) + the three transpose-free sweeps +
+        boundary-face capture + the 2S axpy in ONE kernel
+        (``make_fused_stage_faces``); the caller applies the
+        coarse-fine slab deltas to ``u_new`` scaled by ``beta_dt``."""
+        import os
+        cache = getattr(self, "_stage_cache", None)
+        if cache is None:
+            cache = self._stage_cache = {}
+        key = (recon, lev, emit_prim)
+        if key not in cache:
+            from ..solver.pallas_sweep import make_fused_stage_faces
+            interp = jax.default_backend() != "tpu"
+            cache[key] = make_fused_stage_faces(
+                self.smesh.base.block_shape, self.smesh.dx(lev),
+                self.cfg, self.eos, self._positivity_mask, recon,
+                self.smesh.base.nghost,
+                tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "8")),
+                ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
+                interpret=interp, emit_prim=emit_prim)
+        return cache[key]
+
     def _slabs_from_fluxes(self, fluxes):
         """Extract the boundary-face slabs (canonical layout of
         ``make_fused_negdiv_faces``) from full per-face flux arrays —
@@ -163,21 +206,25 @@ class SmrHydro:
             out[d] = jnp.stack([F[tuple(lo)], F[tuple(hi)]], axis=-1)
         return out
 
-    def _slab_flux_correct(self, negdivs, slabs):
+    def _slab_flux_correct(self, targets, slabs, scale=1.0):
         """Slab-based coarse-fine flux correction: restrict the fine
         boundary-face fluxes (2x2 transverse average), and add the
         resulting flux delta to the single interior cell layer adjacent
         to each corrected coarse face — algebraically identical to
         replacing the coarse flux before the divergence
         (``_flux_correct``), but without materializing full flux
-        arrays (the fused path never does)."""
+        arrays (the fused path never does).  ``targets`` are the
+        per-level negdivs (``scale=1``) or, on the whole-stage fused
+        path, the freshly axpy'd ``u_new`` arrays with
+        ``scale=beta_dt`` (u_new = ... + beta_dt*negdiv, so the same
+        delta enters scaled)."""
         import numpy as np
         b = self.smesh.base
         g = b.nghost
         nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
         nsz = {1: nx, 2: ny, 3: nz}
 
-        negdivs = dict(negdivs)
+        targets = dict(targets)
         for (lev, face), (d_arr, kidmat, ocs) in self._fc_batch.items():
             axis = 3 - face // 2
             d = {3: 1, 2: 2, 1: 3}[axis]
@@ -216,8 +263,9 @@ class SmrHydro:
                     slice(g, g + ny), slice(g, g + nx)]
             widx[5 + _AXIS_OF_DIR[d]] = layer
             sign = 1.0 if lo else -1.0
-            negdivs[lev] = negdivs[lev].at[tuple(widx)].add(sign * delta)
-        return negdivs
+            targets[lev] = targets[lev].at[tuple(widx)].add(
+                sign * scale * delta)
+        return targets
 
     # ----------------------------------------------------------------- core
     def _fluxes_level(self, prim, lev, c_h, recon):
@@ -417,19 +465,69 @@ class SmrHydro:
         return jax.lax.cond(jnp.any(bad), _rescue, lambda _: (nd, sl),
                             None)
 
+    def _dedner_source_level(self, u, prim, beta_dt, c_h, lev):
+        """Per-level Dedner source: psi damping with level-scaled mindx,
+        plus the optional EXTENDED non-conservative divB terms (central
+        differences of the stage-start prim; the uniform path's
+        ``hydro_pkg._dedner_source``; reference
+        ``src/hydro/glmmhd/dedner_source.cpp:17-79`` wires either
+        variant for every mesh)."""
+        cfg = self.cfg
+        dx = self.smesh.dx(lev)
+        coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt / min(dx))
+        if cfg.glmmhd_source == "dedner_extended":
+            from ..core.indices import IB1, IB2, IB3, IM1, IM2, IM3, \
+                IEN, IPS
+
+            def cdiff(q, d):
+                ax = _AXIS_OF_DIR[d]
+                return (jnp.roll(q, -1, axis=ax)
+                        - jnp.roll(q, 1, axis=ax)) / (2.0 * dx[d - 1])
+
+            b1, b2, b3 = prim[:, IB1], prim[:, IB2], prim[:, IB3]
+            psi = prim[:, IPS]
+            divB = cdiff(b1, 1) + cdiff(b2, 2) + cdiff(b3, 3)
+            psi_gradB = (b1 * cdiff(psi, 1) + b2 * cdiff(psi, 2)
+                         + b3 * cdiff(psi, 3))
+            u = u.at[:, IM1].add(-beta_dt * divB * b1)
+            u = u.at[:, IM2].add(-beta_dt * divB * b2)
+            u = u.at[:, IM3].add(-beta_dt * divB * b3)
+            u = u.at[:, IEN].add(-beta_dt * psi_gradB)
+        from ..core.indices import IPS
+        return u.at[:, IPS].multiply(coeff)
+
     def _step(self, state, dt, c_h, t=0.0):
         cfg = self.cfg
         tab = INTEGRATORS[cfg.integrator]
         u0 = dict(state)
         u1 = dict(state)
         fused = self._use_pallas_sweep(next(iter(state.values())).dtype)
+        stage_fused = fused and self._use_stage_fused()
         for s in range(tab["nstages"]):
             recon = cfg.reconstruction
             if cfg.integrator == "vl2" and s == 0:
                 recon = "dc"
             beta_dt = tab["beta"][s] * dt
             prims = {}
-            if fused:
+            if stage_fused:
+                # whole-stage kernel (cons->prim + sweeps + face capture
+                # + 2S axpy in VMEM); coarse-fine deltas land on u_new
+                # scaled by beta_dt — algebraically the same correction
+                need_prim = self._need_prim()
+                u_news = {}
+                slabs = {}
+                for lev in u0:
+                    u_new, prim, sl = self._fused_stage_faces(
+                        recon, lev, need_prim)(
+                        u0[lev], u1[lev], tab["gam0"][s], tab["gam1"][s],
+                        beta_dt, c_h)
+                    u_news[lev] = u_new
+                    slabs[lev] = sl
+                    if need_prim:
+                        prims[lev] = prim
+                u0 = self._slab_flux_correct(u_news, slabs,
+                                             scale=beta_dt)
+            elif fused:
                 negdivs = {}
                 slabs = {}
                 for lev in u0:
@@ -475,13 +573,8 @@ class SmrHydro:
                                                  tab["gam1"][s], beta_dt)
             for lev in u0:
                 if cfg.fluid == GLMMHD:
-                    # Dedner psi damping, level-scaled mindx (the uniform
-                    # path's glmmhd source; hydro_pkg.py:239-270)
-                    from ..core.indices import IPS
-                    mindx = min(self.smesh.dx(lev))
-                    coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt
-                                    / mindx)
-                    u0[lev] = u0[lev].at[:, IPS].multiply(coeff)
+                    u0[lev] = self._dedner_source_level(
+                        u0[lev], prims.get(lev), beta_dt, c_h, lev)
                 if self.cooling is not None:
                     # pointwise unsplit cooling per stage (the uniform
                     # path's ordering; hydro_pkg.py:296-298)

@@ -4,7 +4,7 @@
 Modes:
   COLD_GAS      — Mdot = M_cold(r < r_acc, T < T_thresh) / t_acc; the same
                   cells lose mass at rate rho/t_acc.
-  BOOSTED_BONDI — Mdot = alpha 4 pi G^2 M_smbh^2 <rho> / (<v>^2+<cs>^2)^1.5
+  BOOSTED_BONDI — Mdot = alpha 2 pi G^2 M_smbh^2 <rho> / (<v>^2+<cs>^2)^1.5
                   with mass-weighted means inside r_acc.
   BOOTH_SCHAYE  — as Bondi with alpha = (n/n0)^beta density boost.
 

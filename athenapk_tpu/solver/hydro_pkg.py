@@ -281,39 +281,49 @@ class HydroPackage:
         return cache[recon]
 
     # ---------------------------------------------------- whole-stage fusion
+    def _stage_needs_prim(self):
+        """Does a post-kernel epilogue consume the stage-start prim?
+        (Problem sources and the extended Dedner divB terms.)  Served
+        on the stage path by the kernel's ``emit_prim`` output."""
+        return (self.problem_source_unsplit is not None
+                or (self.cfg.fluid == GLMMHD
+                    and self.cfg.glmmhd_source == "dedner_extended"))
+
     def _use_fused_stage(self, dtype=None):
         """Whole-stage kernel eligibility: everything the fused sweep
-        needs, PLUS nothing else in the stage may require materialized
-        prim or raw fluxes — 3-D layout (ghost-free or ghosted), no
-        FOFC, no per-stage problem source, and for GLM-MHD only the
-        plain Dedner source (the extended source reads prim B/psi
-        gradients).  ``ATHENAPK_PALLAS_STAGE=0`` forces it off."""
+        needs, PLUS nothing else in the stage may require raw face
+        fluxes — 3-D layout (ghost-free or ghosted) and no FOFC (its
+        rescue consumes the unfused operands).  Prim-consuming
+        epilogues (problem sources, extended Dedner) are served by the
+        kernel's ``emit_prim`` output.  ``ATHENAPK_PALLAS_STAGE=0``
+        forces it off."""
         import os
         if os.environ.get("ATHENAPK_PALLAS_STAGE") == "0":
             return False
         return (self._use_pallas_sweep(dtype)
                 and self.mesh.nx2 > 1 and self.mesh.nx3 > 1
-                and not self.cfg.first_order_flux_correct
-                and self.problem_source_unsplit is None
-                and (self.cfg.fluid != GLMMHD
-                     or self.cfg.glmmhd_source == "dedner_plain"))
+                and not self.cfg.first_order_flux_correct)
 
     def _use_fused_stage_dt(self, dtype=None):
         """dt-emitting stage kernel eligibility: the fused stage plus
         a dt estimate that reduces to the pure hyperbolic CFL over the
         whole array — ghost-free layout (interior == everything), no
-        diffusion/cooling dt terms, hyperbolic dt enabled."""
+        diffusion/cooling dt terms, hyperbolic dt enabled, and no
+        prim-consuming epilogue (post-kernel sources would invalidate
+        the in-kernel CFL minima of u_new)."""
         return (self._use_fused_stage(dtype)
                 and self.mesh.nghost == 0
                 and self.cfg.calc_dt_hyp
                 and not self.diffusion.any_enabled
-                and self.cooling is None)
+                and self.cooling is None
+                and not self._stage_needs_prim())
 
-    def _fused_stage(self, recon: str, emit_dt: bool = False):
+    def _fused_stage(self, recon: str, emit_dt: bool = False,
+                     emit_prim: bool = False):
         cache = getattr(self, "_fused_stage_cache", None)
         if cache is None:
             cache = self._fused_stage_cache = {}
-        key = (recon, emit_dt)
+        key = (recon, emit_dt, emit_prim)
         if key not in cache:
             import os
             import jax as _jax
@@ -324,32 +334,48 @@ class HydroPackage:
                 recon,
                 tz=int(os.environ.get("ATHENAPK_PALLAS_TZ", "8")),
                 ty=int(os.environ.get("ATHENAPK_PALLAS_TY", "8")),
-                interpret=interp, emit_dt=emit_dt)
+                interpret=interp, emit_dt=emit_dt, emit_prim=emit_prim)
         return cache[key]
 
     def _fused_stage_update(self, u0, u1, gam0, gam1, beta_dt, c_h,
-                            recon: str, emit_dt: bool = False):
+                            recon: str, t=0.0, emit_dt: bool = False):
         """cons->prim + 3 sweeps + stage axpy in ONE kernel (one HBM
-        pass over the state); the cheap pointwise epilogues (Dedner psi
-        damping, cooling, boundary fill) stay outside.  ``emit_dt``
-        additionally returns the per-tile raw CFL minima of u_new."""
+        pass over the state); the cheap pointwise epilogues (Dedner
+        source, cooling, problem sources, boundary fill) stay outside.
+        ``emit_dt`` additionally returns the per-tile raw CFL minima of
+        u_new; prim-consuming epilogues read the kernel's emitted
+        stage-start prim."""
         raw_dt = None
+        prim = None
+        emit_prim = self._stage_needs_prim()
         with jax.named_scope("fused_stage"):
-            out = self._fused_stage(recon, emit_dt)(u0, u1, gam0, gam1,
-                                                    beta_dt, c_h)
-            u_new = out[0] if emit_dt else out
-            if emit_dt:
-                raw_dt = out[1]
+            out = self._fused_stage(recon, emit_dt, emit_prim)(
+                u0, u1, gam0, gam1, beta_dt, c_h)
+            if emit_dt or emit_prim:
+                u_new = out[0]
+                rest = list(out[1:])
+                if emit_dt:
+                    raw_dt = rest.pop(0)
+                if emit_prim:
+                    prim = rest.pop(0)
+            else:
+                u_new = out
         if self.cfg.fluid == GLMMHD:
             with jax.named_scope("dedner_source"):
-                # plain Dedner source only (gated in _use_fused_stage):
-                # psi *= exp(-alpha c_h dt / dx) — prim-free
-                coeff = jnp.exp(-self.cfg.glmmhd_alpha * c_h * beta_dt
-                                / self.mesh.min_dx)
-                u_new = u_new.at[:, IPS].multiply(coeff)
+                if self.cfg.glmmhd_source == "dedner_extended":
+                    u_new = self._dedner_source(u_new, prim, beta_dt, c_h)
+                else:
+                    # plain: psi *= exp(-alpha c_h dt / dx) — prim-free
+                    coeff = jnp.exp(-self.cfg.glmmhd_alpha * c_h * beta_dt
+                                    / self.mesh.min_dx)
+                    u_new = u_new.at[:, IPS].multiply(coeff)
         if self.cooling is not None:
             with jax.named_scope("tabular_cooling"):
                 u_new = self.cooling.apply(u_new, beta_dt, self.cfg.fluid)
+        if self.problem_source_unsplit is not None:
+            with jax.named_scope("problem_source"):
+                u_new = self.problem_source_unsplit(u_new, prim, self.mesh,
+                                                    beta_dt, t)
         with jax.named_scope("boundary_fill"):
             u_new = self.apply_boundaries(u_new)
         return (u_new, raw_dt) if emit_dt else u_new
@@ -428,7 +454,9 @@ class HydroPackage:
             mesh = self.mesh
 
             def cdiff(q, d):
-                ax = _AXIS_OF_DIR[d]
+                # q is a per-variable 4-D [nb, z, y, x] slice: shift the
+                # 5-D axis map down by the dropped var axis
+                ax = _AXIS_OF_DIR[d] - 1
                 return (jnp.roll(q, -1, axis=ax) - jnp.roll(q, 1, axis=ax)) / (
                     2.0 * mesh.dx[d - 1])
 
@@ -539,7 +567,7 @@ class HydroPackage:
                 out = self._fused_stage_update(u0, u1, tab["gam0"][s],
                                                tab["gam1"][s],
                                                tab["beta"][s] * dt, c_h,
-                                               recon,
+                                               recon, cur_t,
                                                emit_dt=emit_dt and last)
                 if emit_dt and last:
                     u0, raw_dt = out

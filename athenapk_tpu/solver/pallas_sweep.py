@@ -185,7 +185,7 @@ def _negdiv_slab(cfg, eos, positivity_mask, recon, d, dx, c_h, slab, axis,
 
 def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
                      tz: int = 8, ty: int = 8, interpret: bool = False,
-                     emit_dt: bool = False):
+                     emit_dt: bool = False, emit_prim: bool = False):
     """Whole-stage kernel for 3-D layouts:
     ``fn(u0, u1, gam0, gam1, beta_dt, c_h) -> u_new`` computing
 
@@ -204,7 +204,12 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
     hyperbolic CFL minimum ``min_d min(dx_d/(|v_d|+lam_d))`` — the last
     integrator stage then produces the next cycle's dt without the
     separate cons->prim + reduction HBM passes
-    (``EstimateTimestep``, ``src/hydro/hydro.cpp:914-976``)."""
+    (``EstimateTimestep``, ``src/hydro/hydro.cpp:914-976``).
+
+    ``emit_prim``: additionally writes the STAGE-START prim (of u0,
+    floors applied) so prim-consuming epilogues (problem sources, the
+    extended Dedner source) can run after the kernel without a separate
+    cons->prim pass.  Output order: ``u_new[, raw_dt][, prim]``."""
     from ..core.indices import IDN, IPR
     from ..eos.adiabatic import cons_to_prim, fast_magnetosonic_speed
     from ..recon import nghost_for
@@ -223,12 +228,14 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
         return cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
 
     def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref,
-               *dt_refs):
+               *extra_refs):
         gam0, gam1, beta_dt, c_h = sref[0], sref[1], sref[2], sref[3]
         u0c = u0_ref[...]                 # (1, nvar, tz, ty, NX)
         hz = hz_ref[...][:, :, 0]         # (1, nvar, 2h, ty, NX)
         hy = hy_ref[...][:, :, :, 0]      # (1, nvar, tz, 2h, NX)
         u0f, prim = c2p(u0c)
+        if emit_prim:
+            extra_refs[-1][...] = prim
         _, pzlo = c2p(hz[:, :, :h])
         _, pzhi = c2p(hz[:, :, h:])
         _, pylo = c2p(hy[:, :, :, :h])
@@ -257,7 +264,7 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
             for d, dxd in ((1, dx1), (2, dx2), (3, dx3)):
                 m = jnp.minimum(m, jnp.min(
                     dxd / (jnp.abs(wn[:, d]) + lams[d - 1])))
-            dt_refs[0][0, 0, 0] = m
+            extra_refs[0][0, 0, 0] = m
 
     def stage(u0, u1, gam0, gam1, beta_dt, c_h):
         nb = u0.shape[0]
@@ -266,15 +273,21 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
                        jnp.asarray(beta_dt, dt_), jnp.asarray(c_h, dt_)])
         hz = _halo_slabs(u0, tz, h, 2)   # [nb, nvar, nzb, 2h, NY, NX]
         hy = _halo_slabs(u0, ty, h, 3)   # [nb, nvar, NZ, nyb, 2h, NX]
-        out_specs = pl.BlockSpec((1, nvar, tz, ty, NX),
-                                 lambda b, i, j, c: (b, 0, i, j, 0))
-        out_shape = jax.ShapeDtypeStruct(u0.shape, dt_)
+        tile = pl.BlockSpec((1, nvar, tz, ty, NX),
+                            lambda b, i, j, c: (b, 0, i, j, 0))
+        out_specs = [tile]
+        out_shape = [jax.ShapeDtypeStruct(u0.shape, dt_)]
         if emit_dt:
-            out_specs = (out_specs,
-                         pl.BlockSpec((1, 1, 1),
-                                      lambda b, i, j, c: (b, i, j)))
-            out_shape = (out_shape,
-                         jax.ShapeDtypeStruct((nb, nzb, nyb), dt_))
+            out_specs.append(pl.BlockSpec((1, 1, 1),
+                                          lambda b, i, j, c: (b, i, j)))
+            out_shape.append(jax.ShapeDtypeStruct((nb, nzb, nyb), dt_))
+        if emit_prim:
+            out_specs.append(tile)
+            out_shape.append(jax.ShapeDtypeStruct(u0.shape, dt_))
+        if len(out_specs) == 1:
+            out_specs, out_shape = out_specs[0], out_shape[0]
+        else:
+            out_specs, out_shape = tuple(out_specs), tuple(out_shape)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb, nzb, nyb),
@@ -487,6 +500,147 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
         return nd, {1: fx, 2: slab_y, 3: slab_z}
 
     return negdiv_faces
+
+
+def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
+                           recon: str, g: int, tz: int = 8, ty: int = 8,
+                           interpret: bool = False,
+                           emit_prim: bool = False):
+    """Whole-stage + face-capture kernel for ghosted 3-D refined-mesh
+    layouts: ``fn(u0, u1, gam0, gam1, beta_dt, c_h) ->
+    (u_new, prim_or_None, {d: faces})``.
+
+    Fuses cons->prim (with floors), the three transpose-free sweeps of
+    ``make_fused_negdiv_faces_v2`` (boundary-face fluxes captured at
+    static owner-tile indices for the coarse-fine correction), and the
+    2S-integrator axpy ``u_new = gam0*u0f + gam1*u1 + beta_dt*negdiv``
+    into ONE kernel — the refined-mesh analog of ``make_fused_stage``.
+    The reference serves every mesh with the same scratch-pencil sweep +
+    update chain (``src/hydro/hydro.cpp:1026-1208`` +
+    ``UpdateWithFluxDivergence``); this is that chain in ~3 HBM passes.
+    The caller applies the coarse-fine slab deltas directly to ``u_new``
+    scaled by ``beta_dt`` (``SmrHydro._slab_flux_correct(scale=...)``) —
+    algebraically identical to correcting the negdiv before the axpy.
+
+    ``emit_prim`` additionally writes the tile's prim for decks whose
+    problem sources consume it (e.g. the cluster package): one extra
+    HBM write against the two full passes a separate XLA cons_to_prim
+    would spend.
+    """
+    from ..eos.adiabatic import cons_to_prim as _c2p
+    from ..recon import nghost_for
+
+    NZ, NY, NX = block_shape
+    nvar = cfg.nvar
+    h = nghost_for(recon)
+    tz = _pick_tile(NZ, tz)
+    ty = _pick_tile(NY, ty)
+    nzb, nyb = NZ // tz, NY // ty
+    dx1, dx2, dx3 = dx[0], dx[1], dx[2]
+    nxi, nyi, nzi = NX - 2 * g, NY - 2 * g, NZ - 2 * g
+    ylo_t, ylo_i = g // ty, h + g % ty
+    yhi_t, yhi_i = (g + nyi) // ty, h + (g + nyi) % ty
+    zlo_t, zlo_i = g // tz, h + g % tz
+    zhi_t, zhi_i = (g + nzi) // tz, h + (g + nzi) % tz
+
+    def c2p(u):
+        return _c2p(eos, u, cfg.fluid, cfg.nscalars)
+
+    def _sweep(slab, axis, d, dxd, c_h):
+        qm, qp = reconstruct(recon, slab, axis, dxd,
+                             positivity_mask=positivity_mask)
+        wl = jnp.roll(qp, 1, axis=axis)
+        F = solve_riemann(cfg.riemann, cfg.fluid, eos, wl, qm, d,
+                          c_h=c_h, nscalars=cfg.nscalars)
+        return F, -(jnp.roll(F, -1, axis=axis) - F) / dxd
+
+    def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref, fx_ref,
+               fy_ref, fz_ref, *prim_refs):
+        gam0, gam1, beta_dt, c_h = sref[0], sref[1], sref[2], sref[3]
+        u0c = u0_ref[...]                 # (1, nvar, tz, ty, NX)
+        hz = hz_ref[...][:, :, 0]         # (1, nvar, 2h, ty, NX)
+        hy = hy_ref[...][:, :, :, 0]      # (1, nvar, tz, 2h, NX)
+        u0f, prim = c2p(u0c)
+        _, pzlo = c2p(hz[:, :, :h])
+        _, pzhi = c2p(hz[:, :, h:])
+        _, pylo = c2p(hy[:, :, :, :h])
+        _, pyhi = c2p(hy[:, :, :, h:])
+        prim_z = jnp.concatenate([pzlo, prim, pzhi], axis=2)
+        prim_y = jnp.concatenate([pylo, prim, pyhi], axis=3)
+        Fx, nd = _sweep(prim, -1, 1, dx1, c_h)
+        Fy, ndy = _sweep(prim_y, -2, 2, dx2, c_h)
+        Fz, ndz = _sweep(prim_z, -3, 3, dx3, c_h)
+        nd = nd + ndy[:, :, :, h:h + ty] + ndz[:, :, h:h + tz]
+        out_ref[...] = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
+        fx_ref[...] = jnp.stack([Fx[..., g], Fx[..., g + nxi]], axis=-1)
+        # (1, nvar, tz, 2, NX) -> (1, nvar, tz, 2, 1, NX)
+        fy_ref[...] = jnp.stack([Fy[:, :, :, ylo_i], Fy[:, :, :, yhi_i]],
+                                axis=3)[:, :, :, :, None, :]
+        # (1, nvar, 2, ty, NX) -> (1, nvar, 1, 2, ty, NX)
+        fz_ref[...] = jnp.stack([Fz[:, :, zlo_i], Fz[:, :, zhi_i]],
+                                axis=2)[:, :, None]
+        if emit_prim:
+            prim_refs[0][...] = prim
+
+    def stage_faces(u0, u1, gam0, gam1, beta_dt, c_h):
+        nb = u0.shape[0]
+        dt_ = u0.dtype
+        s = jnp.stack([jnp.asarray(gam0, dt_), jnp.asarray(gam1, dt_),
+                       jnp.asarray(beta_dt, dt_), jnp.asarray(c_h, dt_)])
+        hz = _halo_slabs(u0, tz, h, 2)
+        hy = _halo_slabs(u0, ty, h, 3)
+        tile = pl.BlockSpec((1, nvar, tz, ty, NX),
+                            lambda b, i, j, c: (b, 0, i, j, 0))
+        out_specs = [
+            tile,
+            # x faces: every tile owns its (z, y) patch
+            pl.BlockSpec((1, nvar, tz, ty, 2),
+                         lambda b, i, j, c: (b, 0, i, j, 0)),
+            # y candidates per (iz, jy): [nb, nvar, NZ, 2, nyb, NX]
+            pl.BlockSpec((1, nvar, tz, 2, 1, NX),
+                         lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+            # z candidates per (iz, jy): [nb, nvar, nzb, 2, NY, NX]
+            pl.BlockSpec((1, nvar, 1, 2, ty, NX),
+                         lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(u0.shape, dt_),
+            jax.ShapeDtypeStruct((nb, nvar, NZ, NY, 2), dt_),
+            jax.ShapeDtypeStruct((nb, nvar, NZ, 2, nyb, NX), dt_),
+            jax.ShapeDtypeStruct((nb, nvar, nzb, 2, NY, NX), dt_),
+        ]
+        if emit_prim:
+            out_specs.append(tile)
+            out_shape.append(jax.ShapeDtypeStruct(u0.shape, dt_))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nzb, nyb),
+            in_specs=[
+                tile,
+                pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
+                             lambda b, i, j, c: (b, 0, i, j, 0, 0)),
+                tile,
+            ],
+            out_specs=tuple(out_specs),
+        )
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(s, u0, hz, hy, u1)
+        u_new, fx, fy, fz = res[:4]
+        prim = res[4] if emit_prim else None
+        # keep only the owner tiles' candidate planes
+        slab_y = jnp.stack([fy[:, :, :, 0, ylo_t], fy[:, :, :, 1, yhi_t]],
+                           axis=-1)                 # [nb, nvar, NZ, NX, 2]
+        slab_z = jnp.stack([fz[:, :, zlo_t, 0], fz[:, :, zhi_t, 1]],
+                           axis=-1)                 # [nb, nvar, NY, NX, 2]
+        return u_new, prim, {1: fx, 2: slab_y, 3: slab_z}
+
+    return stage_faces
 
 
 def _pick_tile(extent: int, want: int) -> int:

@@ -216,6 +216,49 @@ def _v2_faces():
     return rel
 
 
+@check("stage+faces kernel (SMR layout)")
+def _stage_faces():
+    _, gh, _ = meshes()
+    g = gh.nghost
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(gh, cfg, eos)
+    u0 = jax.jit(pkg.apply_boundaries)(mk_state(gh, cfg, eos))
+    u1 = u0 * jnp.float32(1.02)
+    gam0, gam1, bdt = (jnp.float32(v) for v in (0.3, 0.7, 2e-3))
+    c_h = jnp.float32(0.0)
+    u0f, prim = jax.jit(pkg._cons_to_prim)(u0)
+    fluxes = jax.jit(
+        lambda p, c: pkg._compute_fluxes(p, c, "ppm"))(prim, c_h)
+    nd_ref = -np.asarray(jax.jit(pkg._flux_divergence)(fluxes))
+    u_ref = np.asarray(gam0 * u0f + gam1 * u1) + float(bdt) * nd_ref
+    fn = ps.make_fused_stage_faces(
+        gh.block_shape, (gh.dx1, gh.dx2, gh.dx3), cfg, eos,
+        pkg._positivity_mask, "ppm", g, tz=8, ty=8, interpret=INTERPRET,
+        emit_prim=True)
+    u_new, prim_k, faces = jax.jit(
+        lambda a, b: fn(a, b, gam0, gam1, bdt, c_h))(u0, u1)
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+    rel = _rel(np.asarray(u_new), u_ref, sl)
+    rel = max(rel, _rel(np.asarray(prim_k), np.asarray(prim), sl))
+    fx = np.asarray(fluxes[1])
+    want_x = np.stack([fx[..., g], fx[..., g + gh.mbnx1]], axis=-1)
+    rel = max(rel, _rel(np.asarray(faces[1])[:, :, g:-g, g:-g],
+                        want_x[:, :, g:-g, g:-g]))
+    fy = np.asarray(fluxes[2])
+    want_y = np.stack([fy[:, :, :, g], fy[:, :, :, g + gh.mbnx2]],
+                      axis=-1)
+    rel = max(rel, _rel(np.asarray(faces[2])[:, :, g:-g, g:-g],
+                        want_y[:, :, g:-g, g:-g]))
+    fz = np.asarray(fluxes[3])
+    want_z = np.stack([fz[:, :, g], fz[:, :, g + gh.mbnx3]], axis=-1)
+    rel = max(rel, _rel(np.asarray(faces[3])[:, :, g:-g, g:-g],
+                        want_z[:, :, g:-g, g:-g]))
+    return rel
+
+
 @check("stage kernel ghost-free (glmmhd)")
 def _stage_gf():
     gf, _, _ = meshes()
