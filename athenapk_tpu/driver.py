@@ -431,23 +431,41 @@ def write_restart_file(sim, fname):
 
 def main(argv=None):
     """CLI: python -m athenapk_tpu.driver -i deck.in [ovr...]
-            python -m athenapk_tpu.driver -r file.rhdf [ovr...]"""
+            python -m athenapk_tpu.driver -r file.rhdf [ovr...]
+       Optional: -t TRACE_DIR wraps the run in a jax.profiler trace
+       (viewable in XProf/TensorBoard) — the Kokkos-Tools/nvprof analog
+       of the reference's named kernels (SURVEY §5; every jitted phase
+       here carries a jax.named_scope)."""
     argv = argv if argv is not None else sys.argv[1:]
-    if "-r" in argv:
-        i = argv.index("-r")
+    trace_dir = None
+    if "-t" in argv:
+        i = argv.index("-t")
+        trace_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+
+    def _run():
+        if "-r" in argv:
+            i = argv.index("-r")
+            path = argv[i + 1]
+            overrides = [a for a in argv[:i] + argv[i + 2:] if "=" in a]
+            run_from_restart(path, overrides)
+            return 0
+        if "-i" not in argv:
+            print("usage: python -m athenapk_tpu.driver -i input.in "
+                  "[block/key=value ...]  (or -r file.rhdf) "
+                  "[-t trace_dir]")
+            return 1
+        i = argv.index("-i")
         path = argv[i + 1]
         overrides = [a for a in argv[:i] + argv[i + 2:] if "=" in a]
-        run_from_restart(path, overrides)
+        run_from_file(path, overrides)
         return 0
-    if "-i" not in argv:
-        print("usage: python -m athenapk_tpu.driver -i input.in "
-              "[block/key=value ...]  (or -r file.rhdf)")
-        return 1
-    i = argv.index("-i")
-    path = argv[i + 1]
-    overrides = [a for a in argv[:i] + argv[i + 2:] if "=" in a]
-    run_from_file(path, overrides)
-    return 0
+
+    if trace_dir is not None:
+        import jax
+        with jax.profiler.trace(trace_dir):
+            return _run()
+    return _run()
 
 
 if __name__ == "__main__":
