@@ -146,20 +146,36 @@ class SmrSimulation:
 
         # per-level problem sources (coordinate-dependent; rebuilt per
         # remesh on adaptive meshes): the pgen's SMR-aware hook
+        cfg_, eos_ = self.cfg, self.eos
         src_hook = getattr(self.pgen, "problem_source_unsplit_smr", None)
         src_factory = None
         if src_hook is not None:
-            cfg_, eos_ = self.cfg, self.eos
             src_factory = lambda sm: src_hook(pin, sm, cfg_, eos_)  # noqa: E731
-        # fail fast instead of silently dropping deck semantics (the
+        # first-order split sources (once per cycle at full dt) need an
+        # SMR-aware hook with per-leaf coordinates; fail fast instead of
+        # silently dropping deck semantics for pgens without one (the
         # reference wires split sources for every mesh,
         # hydro_driver.cpp:469,548-561)
-        for hook in ("problem_source_first_order", "problem_source_strang"):
-            if getattr(self.pgen, hook, None) is not None:
-                raise NotImplementedError(
-                    f"{hook} ({self.pgen.__name__}) is not supported on "
-                    "refined meshes yet; run this problem on a uniform "
-                    "mesh or add an SMR-aware source hook")
+        fo_hook = getattr(self.pgen, "problem_source_first_order_smr", None)
+        fo_factory = None
+        if fo_hook is not None:
+            fo_factory = lambda sm: fo_hook(pin, sm, cfg_, eos_)  # noqa: E731
+        elif getattr(self.pgen, "problem_source_first_order", None) \
+                is not None:
+            raise NotImplementedError(
+                f"problem_source_first_order ({self.pgen.__name__}) has "
+                "no SMR-aware variant; run this problem on a uniform "
+                "mesh or add problem_source_first_order_smr")
+        if getattr(self.pgen, "problem_source_strang", None) is not None:
+            raise NotImplementedError(
+                f"problem_source_strang ({self.pgen.__name__}) is not "
+                "supported on refined meshes yet")
+        # pgen dt constraint (ProblemEstimateTimestep, main.cpp:107):
+        # factory(smesh) -> fn(state, t) | None, rebuilt per remesh
+        pe_hook = getattr(self.pgen, "estimate_timestep_smr", None)
+        self._pe_factory = ((lambda sm: pe_hook(pin, sm, cfg_, eos_))
+                            if pe_hook is not None else None)
+        self._pe_cache = (None, None)   # (smesh, fn)
 
         if self.adaptive:
             rcfg = RefinementConfig.from_parameter_input(pin)
@@ -169,6 +185,7 @@ class SmrSimulation:
                     "parthenon/mesh", "derefine_count", 10),
                 cooling=cooling, diffusion=diffusion,
                 problem_source_factory=src_factory,
+                problem_first_order_factory=fo_factory,
                 custom_bcs=self._custom_bcs,
                 problem_check=self._problem_check)
         else:
@@ -178,6 +195,8 @@ class SmrSimulation:
                 diffusion=diffusion,
                 problem_source_unsplit=(src_factory(self.smesh)
                                         if src_factory else None),
+                problem_source_first_order=(fo_factory(self.smesh)
+                                            if fo_factory else None),
                 custom_bcs=self._custom_bcs)
 
         if self.is_restart:
@@ -309,6 +328,19 @@ class SmrSimulation:
 
     def _smesh_now(self):
         return self.driver.smesh if self.adaptive else self.smesh
+
+    def _problem_dt(self):
+        """pgen dt constraint for the current mesh (inf when absent);
+        the per-leaf closure is rebuilt after every remesh."""
+        if self._pe_factory is None:
+            return float("inf")
+        sm = self._smesh_now()
+        if self._pe_cache[0] is not sm:
+            self._pe_cache = (sm, self._pe_factory(sm))
+        fn = self._pe_cache[1]
+        if fn is None:
+            return float("inf")
+        return float(fn(self.state, self.t))
 
     def _prims(self):
         """{lev: prim} from the current state (ghost-inclusive)."""
@@ -448,7 +480,8 @@ class SmrSimulation:
             st = self._stepper_now()
             if st.sts:
                 dt_j, dt_diff_j = st.estimate_dt_with_diff(self.state)
-                dt = min(float(dt_j), self.tlim - self.t)
+                dt = min(float(dt_j), self._problem_dt(),
+                         self.tlim - self.t)
                 dt_diff = float(dt_diff_j)
                 # Strang wrap: half diffusive super-step on each side
                 # of the hyperbolic cycle (hydro_driver.cpp:456-458)
@@ -461,7 +494,7 @@ class SmrSimulation:
                                               dt_diff)
             else:
                 dt = float(st.estimate_dt(self.state))
-                dt = min(dt, self.tlim - self.t)
+                dt = min(dt, self._problem_dt(), self.tlim - self.t)
                 self.state = st.step(self.state, dt,
                                      jnp.asarray(self._c_h(dt)),
                                      jnp.asarray(self.t))

@@ -354,6 +354,7 @@ class AmrHydro:
     def __init__(self, smesh: SmrMesh, cfg, eos, refine_cfg,
                  check_interval=1, derefine_count=10, cooling=None,
                  diffusion=None, problem_source_factory=None,
+                 problem_first_order_factory=None,
                  sharding=None, custom_bcs=None, problem_check=None,
                  layout="flat"):
         self.smesh = smesh
@@ -381,6 +382,9 @@ class AmrHydro:
         # factory(smesh) -> src(state, prims, beta_dt, t): per-leaf
         # coordinate closures must be rebuilt when the mesh changes
         self.problem_source_factory = problem_source_factory
+        # factory(smesh) -> src(state, dt, t) | None: first-order split
+        # sources (once per cycle at full dt on the last stage)
+        self.problem_first_order_factory = problem_first_order_factory
         self.refine_cfg = refine_cfg
         self.check_interval = max(1, int(check_interval))
         # a leaf must request derefinement this many CONSECUTIVE checks
@@ -404,10 +408,14 @@ class AmrHydro:
         if st is None:
             src = (self.problem_source_factory(self.smesh)
                    if self.problem_source_factory is not None else None)
+            src_fo = (self.problem_first_order_factory(self.smesh)
+                      if self.problem_first_order_factory is not None
+                      else None)
             st = SmrHydro(self.smesh, self.cfg, self.eos,
                           cooling=self.cooling,
                           diffusion=self.diffusion,
                           problem_source_unsplit=src,
+                          problem_source_first_order=src_fo,
                           custom_bcs=self.custom_bcs)
             if self.sharding is not None:
                 st = (_FlatStepper(st, self) if self.layout == "flat"

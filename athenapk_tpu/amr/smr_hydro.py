@@ -36,7 +36,7 @@ _AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
 class SmrHydro:
     def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None,
                  diffusion=None, problem_source_unsplit=None,
-                 custom_bcs=None):
+                 problem_source_first_order=None, custom_bcs=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
@@ -45,6 +45,10 @@ class SmrHydro:
         # (coordinate-dependent sources get per-leaf centers; see
         # pgen.cluster.problem_source_unsplit_smr)
         self.problem_source_unsplit = problem_source_unsplit
+        # per-level FIRST-ORDER split source: src(state, dt, t) -> state,
+        # applied once per cycle at full dt on the last stage
+        # (AddSplitSourcesFirstOrder, hydro_driver.cpp:548-561)
+        self.problem_source_first_order = problem_source_first_order
         self.diffusion = (diffusion if diffusion is not None
                           and diffusion.any_enabled else None)
         self.sts = (self.diffusion is not None
@@ -584,6 +588,12 @@ class SmrHydro:
                 # per-level coordinate-dependent sources with cross-level
                 # global reductions (AddUnsplitSources analog)
                 u0 = self.problem_source_unsplit(u0, prims, beta_dt, t)
+            if (self.problem_source_first_order is not None
+                    and s == tab["nstages"] - 1):
+                # first-order split source, once per cycle at full dt on
+                # the final state (AddSplitSourcesFirstOrder,
+                # hydro_driver.cpp:548-561)
+                u0 = self.problem_source_first_order(u0, dt, t)
             u0 = self.state_mgr.fill_ghosts(u0)
         return u0
 

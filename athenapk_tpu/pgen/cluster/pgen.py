@@ -216,8 +216,13 @@ def _interior_mask(mesh):
 
 
 def problem_source_unsplit(pin, mesh, cfg, eos):
-    """Cluster source dispatch (``ClusterUnsplitSrcTerm``,
-    cluster.cpp:63-107): gravity + AGN feedback + clips."""
+    """Cluster unsplit (per-stage) source dispatch
+    (``ClusterUnsplitSrcTerm``, cluster.cpp:63-84): gravity + AGN
+    feedback (incl. fixed-field tower) + SNIA.  Stellar feedback and
+    clips are SPLIT sources — once per cycle at full dt on the final
+    state (``ClusterSplitSrcTerm`` registered ProblemSourceFirstOrder,
+    main.cpp:106) — because the one-shot density reset must see the
+    persisted state, not a discarded 2S half-register."""
     pkg = _pkg(pin)
     x, y, z = mesh.cell_centers_mesh()
     shape = (mesh.nblocks,) + mesh.block_shape
@@ -225,7 +230,6 @@ def problem_source_unsplit(pin, mesh, cfg, eos):
     yb = jnp.asarray(np.broadcast_to(y, shape))
     zb = jnp.asarray(np.broadcast_to(z, shape))
     r = jnp.sqrt(xb ** 2 + yb ** 2 + zb ** 2)
-    gm1 = pkg.gamma - 1.0
     mhd = cfg.fluid == GLMMHD
     pkg.agn_feedback._mesh_cell_volume = mesh.cell_volume
     valid = _interior_mask(mesh)
@@ -237,9 +241,62 @@ def problem_source_unsplit(pin, mesh, cfg, eos):
         u = pkg.agn_feedback.apply(u, prim, beta_dt, t, xb, yb, zb, mhd,
                                    valid=valid)
         u = pkg.snia_feedback.apply(u, prim, beta_dt, r)
-        u = pkg.stellar_feedback.apply(u, prim, beta_dt, r)
-        u = _apply_clips(pkg, u, r, gm1, mhd)
         return u
+
+    return src
+
+
+def problem_source_first_order(pin, mesh, cfg, eos):
+    """Cluster split sources (``ClusterSplitSrcTerm``, cluster.cpp:85-93,
+    registered as ProblemSourceFirstOrder, main.cpp:106): stellar
+    feedback + cluster clips, once per cycle at full dt on the final
+    state.  Returns None when neither is configured so eligible decks
+    keep the fused-dt fast path."""
+    pkg = _pkg(pin)
+    if pkg.stellar_feedback.disabled and pkg.clip_r <= 0.0:
+        return None
+    from ...eos.adiabatic import cons_to_prim
+    x, y, z = mesh.cell_centers_mesh()
+    shape = (mesh.nblocks,) + mesh.block_shape
+    r = jnp.asarray(np.broadcast_to(np.sqrt(x ** 2 + y ** 2 + z ** 2),
+                                    shape))
+    gm1 = pkg.gamma - 1.0
+    mhd = cfg.fluid == GLMMHD
+
+    def src(u, dt, t):
+        u, prim = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+        u = pkg.stellar_feedback.apply(u, prim, dt, r)
+        return _apply_clips(pkg, u, r, gm1, mhd)
+
+    return src
+
+
+def problem_source_first_order_smr(pin, smesh, cfg, eos):
+    """Split sources on refined meshes: per-level stellar feedback +
+    clips with per-leaf radii (see ``problem_source_first_order``)."""
+    pkg = _pkg(pin)
+    if pkg.stellar_feedback.disabled and pkg.clip_r <= 0.0:
+        return None
+    from ...eos.adiabatic import cons_to_prim
+    gm1 = pkg.gamma - 1.0
+    mhd = cfg.fluid == GLMMHD
+    rs = {}
+    for lev, ids in sorted(smesh.level_ids.items()):
+        bs = smesh.base.block_shape
+        arr = np.empty((len(ids),) + bs)
+        for li, gid in enumerate(ids):
+            x, y, z = smesh.cell_centers_leaf(gid)
+            arr[li] = np.broadcast_to(np.sqrt(x ** 2 + y ** 2 + z ** 2),
+                                      bs)
+        rs[lev] = jnp.asarray(arr)
+
+    def src(state, dt, t):
+        out = {}
+        for lev, u in state.items():
+            u, prim = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+            u = pkg.stellar_feedback.apply(u, prim, dt, rs[lev])
+            out[lev] = _apply_clips(pkg, u, rs[lev], gm1, mhd)
+        return out
 
     return src
 
@@ -251,9 +308,9 @@ def problem_source_unsplit_smr(pin, smesh, cfg, eos):
     reference reduces across ranks/levels in ``hydro_driver.cpp:360-449``).
 
     Returns ``src(state, prims, beta_dt, t) -> state`` over the per-level
-    state dict."""
+    state dict.  Stellar feedback + clips are split sources
+    (``problem_source_first_order_smr``)."""
     pkg = _pkg(pin)
-    gm1 = pkg.gamma - 1.0
     mhd = cfg.fluid == GLMMHD
     valid = _interior_mask(smesh.base)
 
@@ -288,12 +345,83 @@ def problem_source_unsplit_smr(pin, smesh, cfg, eos):
         out = {}
         for lev, g, u in zip(levs, groups, new_u):
             r = jnp.sqrt(g["x"] ** 2 + g["y"] ** 2 + g["z"] ** 2)
-            u = pkg.snia_feedback.apply(u, g["prim"], beta_dt, r)
-            u = pkg.stellar_feedback.apply(u, g["prim"], beta_dt, r)
-            out[lev] = _apply_clips(pkg, u, r, gm1, mhd)
+            out[lev] = pkg.snia_feedback.apply(u, g["prim"], beta_dt, r)
         return out
 
     return src
+
+
+_r_cache = {}
+
+
+def _r_of(mesh):
+    if id(mesh) not in _r_cache:
+        x, y, z = mesh.cell_centers_mesh()
+        shape = (mesh.nblocks,) + mesh.block_shape
+        _r_cache[id(mesh)] = jnp.asarray(
+            np.broadcast_to(np.sqrt(x ** 2 + y ** 2 + z ** 2), shape))
+    return _r_cache[id(mesh)]
+
+
+def estimate_timestep(pin, mesh, cfg, eos, prim, t):
+    """Accretion-time dt constraint (``ClusterEstimateTimestep``,
+    cluster.cpp:95-116 + ``AGNTriggering::EstimateTimeStep``,
+    agn_triggering.cpp:555-585): ``accretion_cfl * cold_t_acc`` for
+    COLD_GAS; ``accretion_cfl * M_region / Mdot`` for the Bondi modes
+    (computed from the current prim — the reference uses the previous
+    cycle's reduced values and skips the first cycle)."""
+    pkg = _pkg(pin)
+    trig = pkg.agn_triggering
+    if trig.mode == "NONE":
+        return jnp.inf
+    if trig.mode == "COLD_GAS":
+        return trig.accretion_cfl * trig.cold_t_acc
+    r = _r_of(mesh)
+    valid = _interior_mask(mesh)
+    mdot = trig.rate_from_partials(
+        trig.accretion_partials(prim, r, mesh.cell_volume, valid))
+    m_reg = trig.region_mass(prim, r, mesh.cell_volume, valid)
+    return trig.accretion_cfl * m_reg / jnp.maximum(mdot, 1e-300)
+
+
+def estimate_timestep_smr(pin, smesh, cfg, eos):
+    """SMR-aware accretion dt constraint: volume-weighted cross-level
+    partials (see ``estimate_timestep``).  Returns ``fn(state, t)`` or
+    None when no triggering is configured."""
+    pkg = _pkg(pin)
+    trig = pkg.agn_triggering
+    if trig.mode == "NONE":
+        return None
+    if trig.mode == "COLD_GAS":
+        cap = trig.accretion_cfl * trig.cold_t_acc
+        return lambda state, t: cap
+    from ...eos.adiabatic import cons_to_prim
+    valid = _interior_mask(smesh.base)
+    coords = {}
+    for lev, ids in sorted(smesh.level_ids.items()):
+        bs = smesh.base.block_shape
+        arr = np.empty((len(ids),) + bs)
+        for li, gid in enumerate(ids):
+            x, y, z = smesh.cell_centers_leaf(gid)
+            arr[li] = np.broadcast_to(np.sqrt(x ** 2 + y ** 2 + z ** 2),
+                                      bs)
+        d1, d2, d3 = smesh.dx(lev)
+        coords[lev] = (jnp.asarray(arr), d1 * d2 * d3)
+
+    def fn(state, t):
+        parts = None
+        m_reg = 0.0
+        for lev, u in state.items():
+            _, prim = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
+            r, vol = coords[lev]
+            p = trig.accretion_partials(prim, r, vol, valid)
+            parts = p if parts is None else {
+                k: parts[k] + p[k] for k in parts}
+            m_reg = m_reg + trig.region_mass(prim, r, vol, valid)
+        mdot = trig.rate_from_partials(parts)
+        return trig.accretion_cfl * m_reg / jnp.maximum(mdot, 1e-300)
+
+    return fn
 
 
 def _apply_clips(pkg, u, r, gm1, mhd):

@@ -339,6 +339,171 @@ thermal_radius = {r_th}
         f"dM={m1 - m0:.6e} expected {dm_exp:.6e} (mdot*t={mdot * t:.3e})"
 
 
+def test_snia_feedback_accounting():
+    """SNIA thermal+mass deposition follows the Hernquist BCG profile:
+    dE = P_m * t * sum(rho_bcg) * vol, dM likewise (reference
+    ``snia_feedback.cpp`` deposits per unit BCG stellar mass);
+    profile evaluated independently here."""
+    P_m, M_m = 1e-3, 1e-4
+    m_bcg, r_bcg = 7.5e-4, 4e-3  # code units (1e14 Msun / Mpc)
+    pin = ParameterInput.from_string(BASE + f"""
+<hydro>
+fluid = euler
+
+<parthenon/time>
+nlim = 8
+
+<problem/cluster/gravity>
+which_bcg_g = HERNQUIST
+gravity_srcterm = false
+m_bcg_s = {m_bcg}
+r_bcg_s = {r_bcg}
+
+<problem/cluster/snia_feedback>
+power_per_bcg_mass = {P_m}
+mass_rate_per_bcg_mass = {M_m}
+""")
+    sim = Simulation(pin, quiet=True)
+    m0, e0, _, _ = _totals(sim)
+    sim.run()
+    m1, e1, _, _ = _totals(sim)
+    t = sim.t
+
+    x, y, z = _interior_centers(sim)
+    r = np.sqrt(x ** 2 + y ** 2 + z ** 2)
+    rho_bcg = m_bcg * r_bcg / (2.0 * math.pi * r * (r + r_bcg) ** 3)
+    s = rho_bcg.sum() * sim.mesh.cell_volume
+    dm_exp = M_m * t * s
+    de_exp = P_m * t * s
+    assert abs((m1 - m0) - dm_exp) / dm_exp < 1e-8, \
+        f"dM={m1 - m0:.6e} expected {dm_exp:.6e}"
+    assert abs((e1 - e0) - de_exp) / de_exp < 2e-3, \
+        f"dE={e1 - e0:.6e} expected {de_exp:.6e}"
+
+
+def test_stellar_feedback_accounting():
+    """Stellar feedback converts cold dense gas above the density
+    threshold (inside the shell) to heat: density resets to the
+    threshold, removed mass enters as efficiency*c^2 thermal energy
+    minus the advected internal energy (reference
+    ``stellar_feedback.cpp:110-165`` one-shot semantics)."""
+    from athenapk_tpu.utils.units import Units
+
+    pin0 = ParameterInput.from_string(BASE)
+    un = Units(pin0)
+    he = 0.25
+    mu = 1.0 / (he * 3.0 / 4.0 + (1 - he) * 2.0)
+    mbar = mu * un.mh()
+    mbar_over_kb = mbar / un.k_boltzmann()
+    gamma = 5.0 / 3.0
+    rho0, pres0 = 1.0, 1.0
+    n0 = rho0 / mbar
+    temp0 = mbar_over_kb * pres0 / rho0
+    n_th = 0.9 * n0
+    t_th = 2.0 * temp0
+    eff = 1e-4   # eff*c^2 >> eint/mass: conversion must net-heat
+    r_st, r_ex = 0.3, 0.1
+
+    pin = ParameterInput.from_string(BASE + f"""
+<hydro>
+fluid = euler
+
+<parthenon/time>
+nlim = 1
+
+<problem/cluster/stellar_feedback>
+stellar_radius = {r_st}
+exclusion_radius = {r_ex}
+efficiency = {eff}
+number_density_threshold = {n_th}
+temperature_threshold = {t_th}
+""")
+    sim = Simulation(pin, quiet=True)
+    m0, e0, _, _ = _totals(sim)
+    sim.run()
+    m1, e1, _, _ = _totals(sim)
+
+    x, y, z = _interior_centers(sim)
+    r = np.sqrt(x ** 2 + y ** 2 + z ** 2)
+    sel = (r <= r_st) & (r > r_ex)
+    drho = (n_th * mbar - rho0)          # < 0
+    dm_exp = drho * sel.sum() * sim.mesh.cell_volume
+    assert dm_exp < 0
+    eint_spec = pres0 / ((gamma - 1.0) * rho0)
+    de_exp = (eint_spec - eff * un.speed_of_light() ** 2) * dm_exp
+    assert de_exp > 0  # removed mass must net HEAT the gas
+    assert abs((m1 - m0) - dm_exp) / abs(dm_exp) < 1e-4, \
+        f"dM={m1 - m0:.6e} expected {dm_exp:.6e}"
+    assert abs((e1 - e0) - de_exp) / abs(de_exp) < 1e-3, \
+        f"dE={e1 - e0:.6e} expected {de_exp:.6e}"
+
+
+def test_accretion_dt_constraint():
+    """ProblemEstimateTimestep analog (``ClusterEstimateTimestep``,
+    cluster.cpp:95-116): COLD_GAS caps dt at accretion_cfl*cold_t_acc;
+    Bondi modes at accretion_cfl*M_region/Mdot."""
+    cap = 1e-5
+    pin = ParameterInput.from_string(BASE + f"""
+<hydro>
+fluid = euler
+
+<parthenon/time>
+nlim = 2
+
+<problem/cluster/agn_triggering>
+triggering_mode = COLD_GAS
+accretion_radius = 0.2
+cold_temp_thresh = 1e12
+cold_t_acc = {cap / 0.1}
+accretion_cfl = 0.1
+
+<problem/cluster/agn_feedback>
+efficiency = 1e-3
+thermal_fraction = 1.0
+thermal_radius = 0.2
+""")
+    sim = Simulation(pin, quiet=True)
+    sim.run()
+    assert sim.ncycle == 2
+    assert abs(sim.t - 2 * cap) / (2 * cap) < 1e-12, \
+        f"dt not capped: t={sim.t:.3e} expected {2 * cap:.3e}"
+
+    # Bondi mode: direct functional check of the cap formula
+    import math as _math
+    from athenapk_tpu.pgen.cluster.pgen import estimate_timestep, _pkg
+    pin2 = ParameterInput.from_string(BASE + """
+<hydro>
+fluid = euler
+
+<parthenon/time>
+nlim = 1
+
+<problem/cluster/gravity>
+m_smbh = 1e-2
+
+<problem/cluster/agn_triggering>
+triggering_mode = BOOSTED_BONDI
+accretion_radius = 0.2
+bondi_alpha = 100.0
+accretion_cfl = 0.25
+""")
+    sim2 = Simulation(pin2, quiet=True)
+    import jax.numpy as jnp
+    _, prim = sim2.pkg.cons_to_prim(sim2.u)
+    got = float(estimate_timestep(pin2, sim2.mesh, sim2.cfg, sim2.eos,
+                                  prim, 0.0))
+    from athenapk_tpu.utils.units import Units
+    un = Units(pin2)
+    G = un.gravitational_constant()
+    cs = _math.sqrt(5.0 / 3.0)
+    mdot = 100.0 * 2.0 * _math.pi * G ** 2 * 1e-4 / cs ** 3
+    x, y, z = _interior_centers(sim2)
+    m_reg = float(((x ** 2 + y ** 2 + z ** 2) < 0.04).sum()
+                  * sim2.mesh.cell_volume)
+    want = 0.25 * m_reg / mdot
+    assert abs(got - want) / want < 1e-10, f"{got} vs {want}"
+
+
 def test_booth_schaye_boost():
     """BOOTH_SCHAYE: alpha = (n/n0)^beta above n0, 1 below
     (``agn_triggering.cpp`` Booth & Schaye 2009 boost)."""
