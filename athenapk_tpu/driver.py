@@ -98,6 +98,17 @@ class Simulation:
         if src_first is not None:
             src_first = src_first(pin, self.mesh, self.cfg, self.eos)
         self.src_first_order = src_first
+        # pgen dt constraint (ProblemEstimateTimestep, main.cpp:107).
+        # Factory form resolves at build time — returning None keeps the
+        # fused-dt fast path for decks that don't use the constraint.
+        pe_fac = getattr(self.pgen, "estimate_timestep_factory", None)
+        if pe_fac is not None:
+            self._pe_fn = pe_fac(pin, self.mesh, self.cfg, self.eos)
+        else:
+            raw_pe = getattr(self.pgen, "estimate_timestep", None)
+            self._pe_fn = ((lambda prim, t: raw_pe(
+                self.pin, self.mesh, self.cfg, self.eos, prim, t))
+                if raw_pe is not None else None)
         custom_bcs = None
         bc_hook = getattr(self.pgen, "register_boundary_conditions", None)
         if bc_hook is not None:
@@ -211,10 +222,8 @@ class Simulation:
     def _estimate(self):
         _, prim = self.pkg.cons_to_prim(self.u)
         dt, dt_hyp, dt_diff = self.pkg.estimate_timestep(prim)
-        pe = getattr(self.pgen, "estimate_timestep", None)
-        if pe is not None:
-            dt = jnp.minimum(dt, pe(self.pin, self.mesh, self.cfg, self.eos,
-                                    prim, self.t))
+        if self._pe_fn is not None:
+            dt = jnp.minimum(dt, self._pe_fn(prim, self.t))
         self.dt_diff = float(dt_diff)
         return dt, dt_hyp
 
@@ -266,7 +275,7 @@ class Simulation:
                    and self.pkg.diffusion.integrator == "rkl2")
             fused_dt = not sts and self.src_first_order is None \
                 and self.tracer_state is None \
-                and getattr(self.pgen, "estimate_timestep", None) is None
+                and self._pe_fn is None
             if sts:
                 # Strang wrap: half diffusive step before and after the
                 # hydro cycle (hydro_driver.cpp:456-458, 581-583)

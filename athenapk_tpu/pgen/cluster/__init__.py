@@ -8,6 +8,7 @@ from .pgen import (problem_generator, init_user_mesh_data,  # noqa: F401
                    problem_source_first_order,
                    problem_source_first_order_smr,
                    estimate_timestep, estimate_timestep_smr,
+                   estimate_timestep_factory,
                    problem_generator_smr, problem_source_unsplit_smr,
                    history_columns)
 from .gravity import ClusterGravity  # noqa: F401

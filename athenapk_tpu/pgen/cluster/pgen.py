@@ -384,6 +384,16 @@ def estimate_timestep(pin, mesh, cfg, eos, prim, t):
     return trig.accretion_cfl * m_reg / jnp.maximum(mdot, 1e-300)
 
 
+def estimate_timestep_factory(pin, mesh, cfg, eos):
+    """Build-time form of ``estimate_timestep``: returns None when no
+    triggering is configured, keeping eligible decks on the fused-dt
+    fast path."""
+    pkg = _pkg(pin)
+    if pkg.agn_triggering.mode == "NONE":
+        return None
+    return lambda prim, t: estimate_timestep(pin, mesh, cfg, eos, prim, t)
+
+
 def estimate_timestep_smr(pin, smesh, cfg, eos):
     """SMR-aware accretion dt constraint: volume-weighted cross-level
     partials (see ``estimate_timestep``).  Returns ``fn(state, t)`` or
