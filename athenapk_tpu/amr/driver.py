@@ -254,6 +254,11 @@ class SmrSimulation:
                                                       0)
         self.t = restart["t"] if self.is_restart else 0.0
         self.ncycle = restart["ncycle"] if self.is_restart else 0
+        # last dt taken — seeds the 2x growth cap (Parthenon's
+        # EvolutionDriver tm.dt <= 2*dt_prev ratchet); restored across
+        # checkpoints so a resumed run takes the same dt sequence
+        self.tm_dt = (restart.get("dt", 0.0) or None) \
+            if self.is_restart else None
 
         # outputs: hst (same HistoryOutput as the uniform driver, with
         # per-level groups — VERDICT round-2 item 10) + mixed-level hdf5
@@ -480,8 +485,11 @@ class SmrSimulation:
             st = self._stepper_now()
             if st.sts:
                 dt_j, dt_diff_j = st.estimate_dt_with_diff(self.state)
-                dt = min(float(dt_j), self._problem_dt(),
-                         self.tlim - self.t)
+                dt_raw = min(float(dt_j), self._problem_dt())
+                if self.tm_dt is not None:
+                    dt_raw = min(dt_raw, 2.0 * self.tm_dt)
+                self.tm_dt = dt_raw
+                dt = min(dt_raw, self.tlim - self.t)
                 dt_diff = float(dt_diff_j)
                 # Strang wrap: half diffusive super-step on each side
                 # of the hyperbolic cycle (hydro_driver.cpp:456-458)
@@ -493,8 +501,12 @@ class SmrSimulation:
                 self.state = st.sts_half_step(self.state, 0.5 * dt,
                                               dt_diff)
             else:
-                dt = float(st.estimate_dt(self.state))
-                dt = min(dt, self._problem_dt(), self.tlim - self.t)
+                dt_raw = min(float(st.estimate_dt(self.state)),
+                             self._problem_dt())
+                if self.tm_dt is not None:
+                    dt_raw = min(dt_raw, 2.0 * self.tm_dt)
+                self.tm_dt = dt_raw
+                dt = min(dt_raw, self.tlim - self.t)
                 self.state = st.step(self.state, dt,
                                      jnp.asarray(self._c_h(dt)),
                                      jnp.asarray(self.t))

@@ -89,7 +89,7 @@ def write_restart_smr(fname, sim):
         info = fh.create_group("Info")
         info.attrs["Time"] = float(sim.t)
         info.attrs["NCycle"] = int(sim.ncycle)
-        info.attrs["dt"] = 0.0
+        info.attrs["dt"] = float(getattr(sim, "tm_dt", None) or 0.0)
         info.attrs["OutputFormatVersion"] = 1
         info.attrs["Refined"] = 1
         fh.create_dataset("Input", data=sim.pin.to_string().encode())
