@@ -93,6 +93,11 @@ class SmrHydro:
             key: (np.asarray(d, np.int32), np.asarray(k, np.int32), ocs)
             for key, (d, k, ocs) in fc.items()}
         self.step = jax.jit(self._step)
+        # jitted dt estimates: the eager per-op dispatch of the whole
+        # per-level reduction chain was a per-cycle host-side cost
+        self.estimate_dt = jax.jit(self._estimate_dt_impl)
+        self.estimate_dt_with_diff = jax.jit(
+            self._estimate_dt_with_diff_impl)
         self._rkl2_first = jax.jit(self._rkl2_first_impl,
                                    static_argnames=("s_rkl",))
         self._rkl2_other = jax.jit(self._rkl2_other_impl)
@@ -598,7 +603,7 @@ class SmrHydro:
         return u0
 
     # ------------------------------------------------------------------- dt
-    def estimate_dt(self, state):
+    def _estimate_dt_impl(self, state):
         cfg = self.cfg
         eos = self.eos
         b = self.smesh.base
@@ -632,9 +637,9 @@ class SmrHydro:
                     w, self._level_mesh[lev]))
         if self.diffusion is None:
             return dt_hyp
-        return self.estimate_dt_with_diff(state, dt_hyp=dt_hyp)[0]
+        return self._estimate_dt_with_diff_impl(state, dt_hyp=dt_hyp)[0]
 
-    def estimate_dt_with_diff(self, state, dt_hyp=None):
+    def _estimate_dt_with_diff_impl(self, state, dt_hyp=None):
         """-> (dt, dt_diff) applying the integrator policy: unsplit
         takes the strict min; rkl2 keeps the hyperbolic dt capped at
         rkl2_max_dt_ratio * dt_diff (hydro_pkg.py:404-417)."""
@@ -642,7 +647,7 @@ class SmrHydro:
         if dt_hyp is None:
             saved, self.diffusion = self.diffusion, None
             try:
-                dt_hyp = self.estimate_dt(state)
+                dt_hyp = self._estimate_dt_impl(state)
             finally:
                 self.diffusion = saved
         from ..diffusion.diffusion import estimate_diff_dt
