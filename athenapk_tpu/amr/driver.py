@@ -348,11 +348,18 @@ class SmrSimulation:
         return float(fn(self.state, self.t))
 
     def _prims(self):
-        """{lev: prim} from the current state (ghost-inclusive)."""
-        from ..eos.adiabatic import cons_to_prim
-        return {lev: cons_to_prim(self.eos, u, self.cfg.fluid,
-                                  self.cfg.nscalars)[1]
-                for lev, u in self.state.items()}
+        """{lev: prim} from the current state (ghost-inclusive);
+        jitted (retraces only after a remesh changes the shapes)."""
+        fn = getattr(self, "_prims_j", None)
+        if fn is None:
+            from ..eos.adiabatic import cons_to_prim
+
+            def impl(state):
+                return {lev: cons_to_prim(self.eos, u, self.cfg.fluid,
+                                          self.cfg.nscalars)[1]
+                        for lev, u in state.items()}
+            fn = self._prims_j = jax.jit(impl)
+        return fn(self.state)
 
     def _level_mesh_like(self, lev):
         """Per-level mesh proxy for the history reductions."""
