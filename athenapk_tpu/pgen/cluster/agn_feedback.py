@@ -34,6 +34,32 @@ class AGNFeedback:
             self.thermal_fraction /= total
             self.kinetic_fraction /= total
             self.magnetic_fraction /= total
+        if (self.thermal_fraction < 0 or self.kinetic_fraction < 0
+                or self.magnetic_fraction < 0):
+            raise ValueError("AGN feedback energy fractions must be "
+                             "non-negative")
+        # mass deposition fractions: by default mirror the energy
+        # fractions; disabling tower mass injection renormalizes over
+        # thermal+kinetic (agn_feedback.cpp:57-82)
+        if pin.get_or_add_bool(block, "enable_magnetic_tower_mass_injection",
+                               True):
+            self.thermal_mass_fraction = self.thermal_fraction
+            self.kinetic_mass_fraction = self.kinetic_fraction
+            self.magnetic_mass_fraction = self.magnetic_fraction
+        else:
+            tk = self.thermal_fraction + self.kinetic_fraction
+            tk = tk if tk > 0 else 1.0
+            self.thermal_mass_fraction = self.thermal_fraction / tk
+            self.kinetic_mass_fraction = self.kinetic_fraction / tk
+            self.magnetic_mass_fraction = 0.0
+        # passive-scalar AGN tracer: jet-launching cells get
+        # concentration 1 (agn_feedback.cpp:374-376)
+        self.enable_tracer = pin.get_or_add_bool(block, "enable_tracer",
+                                                 False)
+        if self.enable_tracer and pin.get_or_add_integer(
+                "hydro", "nscalars", 0) != 1:
+            raise ValueError("Enabling tracer for AGN feedback requires "
+                             "hydro/nscalars=1 (agn_feedback.cpp:181)")
         self.thermal_radius = pin.get_or_add_real(block, "thermal_radius",
                                                   0.01)
         self.kinetic_jet_radius = pin.get_or_add_real(
@@ -150,7 +176,8 @@ class AGNFeedback:
             if self.thermal_fraction > 0:
                 vol = 4.0 / 3.0 * math.pi * self.thermal_radius ** 3
                 de = self.thermal_fraction * power / vol * beta_dt
-                drho = self.thermal_fraction * mass_rate / vol * beta_dt
+                drho = (self.thermal_mass_fraction * mass_rate / vol
+                        * beta_dt)
                 inside = r ** 2 <= self.thermal_radius ** 2
                 u = u.at[:, IEN].add(jnp.where(inside, de, 0.0))
                 # add density at fixed velocity: scale momenta, add KE
@@ -173,8 +200,8 @@ class AGNFeedback:
                              + self.kinetic_jet_thickness))
                 scal = 1.0 / (2 * self.kinetic_jet_thickness * math.pi
                               * self.kinetic_jet_radius ** 2)
-                jet_density = (self.kinetic_fraction * mass_rate * scal
-                               * beta_dt)
+                jet_density = (self.kinetic_mass_fraction * mass_rate
+                               * scal * beta_dt)
                 jet_momentum = jet_density * self.kinetic_jet_velocity
                 jet_feedback = self.kinetic_fraction * power * scal * beta_dt
                 ax, ay, az = self.jet_coords.jet_vec_to_sim(
@@ -188,12 +215,20 @@ class AGNFeedback:
                 u = u.at[:, IM3].add(jnp.where(in_jet,
                                                jet_momentum * sign * az, 0.0))
                 u = u.at[:, IEN].add(jnp.where(in_jet, jet_feedback, 0.0))
+                if self.enable_tracer:
+                    # reset the passive tracer to concentration 1 for
+                    # ALL material in the launching region
+                    # (agn_feedback.cpp:371-376)
+                    from ...core.indices import NGLMMHD, NHYDRO
+                    si = NGLMMHD if mhd else NHYDRO
+                    u = u.at[:, si].set(jnp.where(in_jet, u[:, IDN],
+                                                  u[:, si]))
 
             # magnetic tower (globally scaled field injection)
             if tower_f is not None:
                 u = self.magnetic_tower.apply_scaled(
                     u, tower_f, tower_bt[gi],
-                    self.magnetic_fraction * mass_rate, beta_dt, t,
+                    self.magnetic_mass_fraction * mass_rate, beta_dt, t,
                     xb, yb, zb)
 
             # mass removal by the triggering region

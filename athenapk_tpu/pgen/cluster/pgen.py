@@ -166,8 +166,113 @@ def problem_generator(pin, mesh, cfg, eos):
     if not pin.get_or_add_bool("problem/cluster/uniform_gas",
                                "init_uniform_gas", False):
         profile = pkg.hse.profile_for_mesh(mesh)
-    return _init_cons(pin, pkg, cfg, xb, yb, zb, mesh.min_dx,
-                      profile=profile)
+    u = _init_cons(pin, pkg, cfg, xb, yb, zb, mesh.min_dx,
+                   profile=profile)
+    return _apply_init_perturb(pin, mesh, cfg, np.asarray(u))
+
+
+def _perturb_scale(pin, ip, tag):
+    """Single length scale from l_peak or k_peak (cluster.cpp:380-393)."""
+    l_peak = pin.get_or_add_real(ip, f"l_peak_{tag}", -1.0)
+    k_peak = pin.get_or_add_real(ip, f"k_peak_{tag}", -1.0)
+    if not ((l_peak > 0.0) != (k_peak > 0.0)):
+        raise ValueError(
+            f"init_perturb needs exactly one of l_peak_{tag}/k_peak_{tag}")
+    if l_peak > 0.0:
+        lx = pin.get_real("parthenon/mesh", "x1max") \
+            - pin.get_real("parthenon/mesh", "x1min")
+        k_peak = lx / l_peak       # assumes a cubic box (as the reference)
+    return k_peak
+
+
+def _apply_init_perturb(pin, mesh, cfg, u):
+    """Initial velocity/magnetic perturbations from a few-modes field
+    (``cluster.cpp:374-458`` infrastructure + ``:658-815`` application):
+    v = FewModesFT field normalized to rms sigma_v (momenta = rho*v,
+    KE added); B = curl(A) of a solenoidal few-modes vector potential
+    normalized to rms sigma_b (ME added)."""
+    ip = "problem/cluster/init_perturb"
+    sigma_v = pin.get_or_add_real(ip, "sigma_v", 0.0)
+    sigma_b = pin.get_or_add_real(ip, "sigma_b", 0.0)
+    if sigma_v == 0.0 and sigma_b == 0.0:
+        return u
+    from ...utils.few_modes_ft import FewModesFT, make_random_modes
+    ks, ke, js, je, is_, ie = mesh.interior
+    sl = (slice(ks, ke + 1), slice(js, je + 1), slice(is_, ie + 1))
+    vol = mesh.cell_volume
+    lxyz = ((mesh.x1max - mesh.x1min) * (mesh.x2max - mesh.x2min)
+            * (mesh.x3max - mesh.x3min))
+
+    if sigma_v != 0.0:
+        k_peak = _perturb_scale(pin, ip, "v")
+        n_modes = pin.get_or_add_integer(ip, "num_modes_v", 40)
+        sol_w = pin.get_or_add_real(ip, "sol_weight_v", 1.0)
+        rseed = pin.get_or_add_integer(ip, "rseed_v", 1)
+        fm = FewModesFT(mesh, n_modes,
+                        make_random_modes(n_modes, k_peak, rseed),
+                        k_peak, sol_w, 1e-10, rseed)
+        v = np.asarray(fm.generate(1.0))       # [3, nb, nzi, nyi, nxi]
+        mom = u[:, IM1:IM3 + 1][(slice(None), slice(None)) + sl]
+        if np.any(mom != 0.0):
+            raise ValueError("init_perturb sigma_v requires zero initial "
+                             "velocity (cluster.cpp:699)")
+        rho = u[:, IDN][(slice(None),) + sl]
+        for n, c in enumerate((IM1, IM2, IM3)):
+            u[:, c][(slice(None),) + sl] = rho * v[n]
+        v2_sum = float((v ** 2).sum() * vol)
+        v_norm = math.sqrt(v2_sum / lxyz / sigma_v ** 2)
+        ke_ = np.zeros_like(rho)
+        for c in (IM1, IM2, IM3):
+            u[:, c][(slice(None),) + sl] /= v_norm
+            ke_ += u[:, c][(slice(None),) + sl] ** 2
+        u[:, IEN][(slice(None),) + sl] += 0.5 * ke_ / rho
+
+    if sigma_b != 0.0:
+        if cfg.fluid != GLMMHD:
+            raise ValueError("init_perturb sigma_b requires fluid=glmmhd")
+        g = mesh.nghost
+        if g < 1:
+            raise ValueError("init_perturb sigma_b needs nghost >= 1 "
+                             "(curl of the vector potential)")
+        k_peak = _perturb_scale(pin, ip, "b")
+        n_modes = pin.get_or_add_integer(ip, "num_modes_b", 40)
+        rseed = pin.get_or_add_integer(ip, "rseed_b", 2)
+        # vector potential: solenoidal by construction (sol_weight 1),
+        # ghost-filled so the curl's central differences are valid on
+        # every interior cell
+        fm = FewModesFT(mesh, n_modes,
+                        make_random_modes(n_modes, k_peak, rseed),
+                        k_peak, 1.0, 1e-10, rseed, fill_ghosts=True)
+        a = np.asarray(fm.generate(1.0))   # [3, nb, nzi+2g, nyi+2g, ...]
+        bexist = u[:, IB1:IB3 + 1][(slice(None), slice(None)) + sl]
+        if np.any(bexist != 0.0):
+            raise ValueError("init_perturb sigma_b requires zero initial "
+                             "B (cluster.cpp:766)")
+
+        def d(comp, axis):
+            # central difference of A_comp along axis (1=z,2=y,3=x of
+            # the ghost-extended [nb, nz+2g, ny+2g, nx+2g] array)
+            ax = {3: 1, 2: 2, 1: 3}[axis]
+            q = a[comp]
+            lo = [slice(g, -g)] * 3
+            hi = [slice(g, -g)] * 3
+            lo[ax - 1] = slice(g - 1, -g - 1)
+            hi[ax - 1] = slice(g + 1, None if g == 1 else -g + 1)
+            dx = (mesh.dx1, mesh.dx2, mesh.dx3)[axis - 1]
+            return (q[(slice(None),) + tuple(hi)]
+                    - q[(slice(None),) + tuple(lo)]) / (2.0 * dx)
+
+        # B = curl A (cluster.cpp:768-781)
+        b1 = d(2, 2) - d(1, 3)     # dAz/dy - dAy/dz
+        b2 = d(0, 3) - d(2, 1)     # dAx/dz - dAz/dx
+        b3 = d(1, 1) - d(0, 2)     # dAy/dx - dAx/dy
+        b2_sum = float((b1 ** 2 + b2 ** 2 + b3 ** 2).sum() * vol)
+        b_norm = math.sqrt(b2_sum / lxyz / sigma_b ** 2)
+        for c, bb in ((IB1, b1), (IB2, b2), (IB3, b3)):
+            u[:, c][(slice(None),) + sl] = bb / b_norm
+        u[:, IEN][(slice(None),) + sl] += 0.5 * (
+            b1 ** 2 + b2 ** 2 + b3 ** 2) / b_norm ** 2
+    return u
 
 
 def problem_generator_smr(pin, smesh, cfg, eos):
@@ -179,6 +284,12 @@ def problem_generator_smr(pin, smesh, cfg, eos):
     import types
     pkg = _pkg(pin)
     base = smesh.base
+    ip = "problem/cluster/init_perturb"
+    if (pin.get_or_add_real(ip, "sigma_v", 0.0) != 0.0
+            or pin.get_or_add_real(ip, "sigma_b", 0.0) != 0.0):
+        raise NotImplementedError(
+            "init_perturb is supported on uniform meshes only (the "
+            "few-modes phase tables are uniform-grid)")
     profile = None
     if not pin.get_or_add_bool("problem/cluster/uniform_gas",
                                "init_uniform_gas", False):
@@ -484,7 +595,11 @@ def history_columns(pin, mesh, cfg, eos):
     cols = []
     r = "problem/cluster/reductions"
     cold_thresh = pin.get_or_add_real(r, "cold_temp_threshold", -1.0)
-    tracer_thresh = pin.get_or_add_real(r, "agn_tracer_threshold", -1.0)
+    # reference key is agn_tracer_thresh (cluster.cpp:323-324); the old
+    # repo spelling is honored as a fallback
+    tracer_thresh = pin.get_or_add_real(r, "agn_tracer_thresh", -1.0)
+    if tracer_thresh < 0.0:
+        tracer_thresh = pin.get_or_add_real(r, "agn_tracer_threshold", -1.0)
     if cold_thresh > 0.0:
         e_thresh = cold_thresh / pkg.mbar_over_kb / gm1
 
@@ -496,7 +611,7 @@ def history_columns(pin, mesh, cfg, eos):
                                      wi[:, IDN], 0.0)) * mesh_.cell_volume
 
         cols.append(("cold_mass", _cold_gas))
-    if tracer_thresh > 0.0 and cfg.nscalars > 0:
+    if tracer_thresh >= 0.0 and cfg.nscalars > 0:
         from ...core.indices import NGLMMHD, NHYDRO
         nbase = NGLMMHD if cfg.fluid == GLMMHD else NHYDRO
         x, y, z = mesh.cell_centers_mesh()
@@ -507,8 +622,11 @@ def history_columns(pin, mesh, cfg, eos):
         r2i = r2[isl]
 
         def _agn_extent(u, w, mesh_):
-            s_ = u[mesh_.interior_slices][:, nbase]
-            return jnp.sqrt(jnp.max(jnp.where(s_ > tracer_thresh,
+            # tracer CONCENTRATION cons(scalar)/cons(rho) above thresh
+            # (cluster_reductions.cpp:92)
+            ui = u[mesh_.interior_slices]
+            conc = ui[:, nbase] / ui[:, IDN]
+            return jnp.sqrt(jnp.max(jnp.where(conc > tracer_thresh,
                                               r2i, 0.0)))
 
         cols.append(("agn_extent", _agn_extent))

@@ -138,6 +138,12 @@ class HydroConfig:
         fluid = pin.get_or_add_string(h, "fluid", EULER)
         if fluid not in (EULER, GLMMHD):
             raise ValueError(f"unknown fluid '{fluid}'")
+        # validate the EOS selection instead of silently assuming it
+        # (the reference requires eos=adiabatic too, hydro.cpp:486-506)
+        eos_str = pin.get_or_add_string(h, "eos", "adiabatic")
+        if eos_str != "adiabatic":
+            raise ValueError(f"unsupported <hydro> eos '{eos_str}' "
+                             "(only 'adiabatic', as the reference)")
         riemann = pin.get_string(h, "riemann")
         # 'none' disables hyperbolic fluxes (and their dt constraint);
         # explicit hydro/calc_dt_hyp takes precedence (hydro.cpp:355-374)

@@ -64,7 +64,10 @@ class TabularCooling:
         d = np.diff(log_temps)
         if np.any(d <= 0):
             raise ValueError("cooling table log_temp not increasing")
-        if np.any(np.abs(d - d[0]) / d[0] > 1e-6):
+        # even-spacing tolerance (reference d_log_temp_tol,
+        # tabular_cooling.cpp:65,179)
+        d_log_temp_tol = pin.get_or_add_real(c, "d_log_temp_tol", 1e-8)
+        if np.any(np.abs(d - d[0]) / d[0] > d_log_temp_tol):
             raise ValueError("cooling table log_temp not evenly spaced")
 
         self.n_temp = len(log_temps)

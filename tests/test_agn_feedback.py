@@ -504,6 +504,82 @@ accretion_cfl = 0.25
     assert abs(got - want) / want < 1e-10, f"{got} vs {want}"
 
 
+def test_agn_tracer_injection_and_extent():
+    """enable_tracer marks jet-launching material with passive-scalar
+    concentration 1 (``agn_feedback.cpp:371-376``); the agn_extent
+    history reduction reports the max radius of tracer concentration
+    above agn_tracer_thresh (``cluster_reductions.cpp:77-99``)."""
+    rj, thick, off = 0.2, 0.125, 0.0625
+    pin = ParameterInput.from_string(BASE + f"""
+<hydro>
+fluid = euler
+nscalars = 1
+
+<parthenon/time>
+nlim = 4
+
+<problem/cluster/agn_feedback>
+fixed_power = 1e-3
+efficiency = 1e-3
+thermal_fraction = 0.0
+kinetic_fraction = 1.0
+magnetic_fraction = 0.0
+kinetic_jet_radius = {rj}
+kinetic_jet_thickness = {thick}
+kinetic_jet_offset = {off}
+enable_tracer = true
+
+<problem/cluster/reductions>
+agn_tracer_thresh = 0.01
+""")
+    sim = Simulation(pin, quiet=True)
+    sim.run()
+    u = np.asarray(sim.cons())
+    sl = sim.mesh.interior_slices
+    ui = u[sl]
+    conc = ui[:, 5] / ui[:, 0]
+    x, y, z = _interior_centers(sim)
+    in_jet = ((np.sqrt(x ** 2 + y ** 2) < rj) & (np.abs(z) >= off)
+              & (np.abs(z) <= off + thick))
+    # jet-region cells were reset to concentration 1 at the last stage
+    assert conc[in_jet].min() > 0.99, \
+        f"jet conc min {conc[in_jet].min():.3f}"
+    assert conc[~in_jet].max() < 0.99  # only short advective leakage
+
+    # the history reduction sees the tracer extent
+    from athenapk_tpu.pgen.cluster.pgen import history_columns
+    cols = dict(history_columns(sim.pin, sim.mesh, sim.cfg, sim.eos))
+    import jax.numpy as jnp
+    _, w = sim.pkg.cons_to_prim(sim.u)
+    ext = float(cols["agn_extent"](jnp.asarray(sim.u), w, sim.mesh))
+    r_jet_max = math.sqrt(rj ** 2 + (off + thick) ** 2)
+    assert 0.5 * (off + thick) < ext < 1.5 * r_jet_max, \
+        f"agn_extent {ext:.3f} vs jet max radius {r_jet_max:.3f}"
+
+
+def test_tower_mass_injection_toggle():
+    """enable_magnetic_tower_mass_injection=false renormalizes the mass
+    fractions over thermal+kinetic (``agn_feedback.cpp:72-82``)."""
+    from athenapk_tpu.pgen.cluster.pgen import _pkg
+    pin = ParameterInput.from_string(BASE + """
+<hydro>
+fluid = glmmhd
+
+<problem/cluster/agn_feedback>
+fixed_power = 1e-3
+thermal_fraction = 0.25
+kinetic_fraction = 0.25
+magnetic_fraction = 0.5
+enable_magnetic_tower_mass_injection = false
+""")
+    fb = _pkg(pin).agn_feedback
+    assert abs(fb.thermal_fraction - 0.25) < 1e-14
+    assert abs(fb.magnetic_fraction - 0.5) < 1e-14
+    assert abs(fb.thermal_mass_fraction - 0.5) < 1e-14
+    assert abs(fb.kinetic_mass_fraction - 0.5) < 1e-14
+    assert fb.magnetic_mass_fraction == 0.0
+
+
 def test_booth_schaye_boost():
     """BOOTH_SCHAYE: alpha = (n/n0)^beta above n0, 1 below
     (``agn_triggering.cpp`` Booth & Schaye 2009 boost)."""
