@@ -155,15 +155,35 @@ def make_lane_sweep_negdiv_faces(cfg, eos, positivity_mask, recon: str,
 def _halo_slabs(q, t, h, axis):
     """[..] -> per-tile halo slab along ``axis`` (2 or 3 of a 5-D array):
     returns an array with a new tile axis at ``axis`` and a 2h halo axis
-    after it: planes [i*t-h, i*t) ++ [(i+1)*t, (i+1)*t+h) (periodic)."""
+    after it: planes [i*t-h, i*t) ++ [(i+1)*t, (i+1)*t+h) (periodic).
+
+    Each roll+reshape yields at most ``t`` contiguous planes per tile,
+    so when ``t < h`` the halo is assembled from ``ceil(h/t)`` chunks
+    (a single truncated roll would silently return a short slab and
+    Pallas would pad the block reads with garbage)."""
     n = q.shape[axis]
     nb_t = n // t
     lead = q.shape[:axis]
     trail = q.shape[axis + 1:]
-    lo = jnp.roll(q, h, axis=axis).reshape(lead + (nb_t, t) + trail)
-    hi = jnp.roll(q, -t, axis=axis).reshape(lead + (nb_t, t) + trail)
-    sl = (slice(None),) * (axis + 1) + (slice(0, h),)
-    return jnp.concatenate([lo[sl], hi[sl]], axis=axis + 1)
+
+    def tile_planes(shift, k):
+        # planes [i*t + shift, i*t + shift + k) of each tile (periodic)
+        r = jnp.roll(q, -shift, axis=axis).reshape(lead + (nb_t, t) + trail)
+        sl = (slice(None),) * (axis + 1) + (slice(0, k),)
+        return r[sl]
+
+    parts = []
+    off = -h
+    while off < 0:                       # lo halo [i*t-h, i*t)
+        k = min(t, -off)
+        parts.append(tile_planes(off, k))
+        off += k
+    off = t
+    while off < t + h:                   # hi halo [(i+1)*t, (i+1)*t+h)
+        k = min(t, t + h - off)
+        parts.append(tile_planes(off, k))
+        off += k
+    return jnp.concatenate(parts, axis=axis + 1)
 
 
 def _negdiv_slab(cfg, eos, positivity_mask, recon, d, dx, c_h, slab, axis,
@@ -219,8 +239,8 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
     NZ, NY, NX = mesh.block_shape
     nvar = cfg.nvar
     h = nghost_for(recon)
-    tz = _pick_tile(NZ, tz)
-    ty = _pick_tile(NY, ty)
+    ty = _pick_tile_sublane(NY, ty)
+    tz = _fit_tz(NZ, tz, ty, NX, nvar, h)
     nzb, nyb = NZ // tz, NY // ty
     dx1, dx2, dx3 = mesh.dx1, mesh.dx2, mesh.dx3
 
@@ -264,7 +284,10 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
             for d, dxd in ((1, dx1), (2, dx2), (3, dx3)):
                 m = jnp.minimum(m, jnp.min(
                     dxd / (jnp.abs(wn[:, d]) + lams[d - 1])))
-            extra_refs[0][0, 0, 0] = m
+            # Mosaic needs (8, 128)-aligned trailing dims on every block:
+            # broadcast the scalar minimum over one aligned tile (the
+            # caller reduces with jnp.min, so the padding is free).
+            extra_refs[0][...] = jnp.broadcast_to(m, (1, 1, 1, 8, 128))
 
     def stage(u0, u1, gam0, gam1, beta_dt, c_h):
         nb = u0.shape[0]
@@ -278,9 +301,10 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
         out_specs = [tile]
         out_shape = [jax.ShapeDtypeStruct(u0.shape, dt_)]
         if emit_dt:
-            out_specs.append(pl.BlockSpec((1, 1, 1),
-                                          lambda b, i, j, c: (b, i, j)))
-            out_shape.append(jax.ShapeDtypeStruct((nb, nzb, nyb), dt_))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, 1, 8, 128), lambda b, i, j, c: (b, i, j, 0, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((nb, nzb, nyb, 8, 128), dt_))
         if emit_prim:
             out_specs.append(tile)
             out_shape.append(jax.ShapeDtypeStruct(u0.shape, dt_))
@@ -330,8 +354,8 @@ def make_fused_negdiv_v2(mesh, cfg, eos, positivity_mask, recon: str,
     h = nghost_for(recon)
     do_y = mesh.nx2 > 1
     do_z = mesh.nx3 > 1
-    tz = _pick_tile(NZ, tz) if do_z else 1
-    ty = _pick_tile(NY, ty) if do_y else 1
+    ty = _pick_tile_sublane(NY, ty) if do_y else 1
+    tz = _fit_tz(NZ, tz, ty, NX, nvar, h) if do_z else 1
     nzb, nyb = NZ // tz, NY // ty
     dx1, dx2, dx3 = mesh.dx1, mesh.dx2, mesh.dx3
 
@@ -406,8 +430,8 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
     NZ, NY, NX = block_shape
     nvar = cfg.nvar
     h = nghost_for(recon)
-    tz = _pick_tile(NZ, tz)
-    ty = _pick_tile(NY, ty)
+    ty = _pick_tile_sublane(NY, ty)
+    tz = _fit_tz(NZ, tz, ty, NX, nvar, h)
     nzb, nyb = NZ // tz, NY // ty
     dx1, dx2, dx3 = dx[0], dx[1], dx[2]
     nxi, nyi, nzi = NX - 2 * g, NY - 2 * g, NZ - 2 * g
@@ -441,9 +465,9 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
         out_ref[...] = (nd + ndy[:, :, :, h:h + ty]
                         + ndz[:, :, h:h + tz])
         fx_ref[...] = jnp.stack([Fx[..., g], Fx[..., g + nxi]], axis=-1)
-        # (1, nvar, tz, 2, NX) -> (1, nvar, tz, 2, 1, NX)
+        # (1, nvar, tz, 2, NX) -> (1, nvar, 1, tz, 2, NX)
         fy_ref[...] = jnp.stack([Fy[:, :, :, ylo_i], Fy[:, :, :, yhi_i]],
-                                axis=3)[:, :, :, :, None, :]
+                                axis=3)[:, :, None]
         # (1, nvar, 2, ty, NX) -> (1, nvar, 1, 2, ty, NX)
         fz_ref[...] = jnp.stack([Fz[:, :, zlo_i], Fz[:, :, zhi_i]],
                                 axis=2)[:, :, None]
@@ -471,9 +495,11 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
                 # x faces: every tile owns its (z, y) patch
                 pl.BlockSpec((1, nvar, tz, ty, 2),
                              lambda b, i, j, c: (b, 0, i, j, 0)),
-                # y candidates per (iz, jy): [nb, nvar, NZ, 2, nyb, NX]
-                pl.BlockSpec((1, nvar, tz, 2, 1, NX),
-                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                # y candidates per (iz, jy): [nb, nvar, nyb, NZ,
+                # 2, NX] — the tile axis LEADS (a 1-extent block dim in
+                # the sublane slot would violate Mosaic's 8-alignment)
+                pl.BlockSpec((1, nvar, 1, tz, 2, NX),
+                             lambda b, i, j, c: (b, 0, j, i, 0, 0)),
                 # z candidates per (iz, jy): [nb, nvar, nzb, 2, NY, NX]
                 pl.BlockSpec((1, nvar, 1, 2, ty, NX),
                              lambda b, i, j, c: (b, 0, i, 0, j, 0)),
@@ -485,7 +511,7 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
             out_shape=(
                 jax.ShapeDtypeStruct(prim.shape, prim.dtype),
                 jax.ShapeDtypeStruct((nb, nvar, NZ, NY, 2), prim.dtype),
-                jax.ShapeDtypeStruct((nb, nvar, NZ, 2, nyb, NX),
+                jax.ShapeDtypeStruct((nb, nvar, nyb, NZ, 2, NX),
                                      prim.dtype),
                 jax.ShapeDtypeStruct((nb, nvar, nzb, 2, NY, NX),
                                      prim.dtype),
@@ -493,7 +519,7 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
             interpret=interpret,
         )(c_h_arr, prim, hz, hy)
         # keep only the owner tiles' candidate planes
-        slab_y = jnp.stack([fy[:, :, :, 0, ylo_t], fy[:, :, :, 1, yhi_t]],
+        slab_y = jnp.stack([fy[:, :, ylo_t, :, 0], fy[:, :, yhi_t, :, 1]],
                            axis=-1)                 # [nb, nvar, NZ, NX, 2]
         slab_z = jnp.stack([fz[:, :, zlo_t, 0], fz[:, :, zhi_t, 1]],
                            axis=-1)                 # [nb, nvar, NY, NX, 2]
@@ -533,8 +559,8 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
     NZ, NY, NX = block_shape
     nvar = cfg.nvar
     h = nghost_for(recon)
-    tz = _pick_tile(NZ, tz)
-    ty = _pick_tile(NY, ty)
+    ty = _pick_tile_sublane(NY, ty)
+    tz = _fit_tz(NZ, tz, ty, NX, nvar, h)
     nzb, nyb = NZ // tz, NY // ty
     dx1, dx2, dx3 = dx[0], dx[1], dx[2]
     nxi, nyi, nzi = NX - 2 * g, NY - 2 * g, NZ - 2 * g
@@ -573,9 +599,9 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
         nd = nd + ndy[:, :, :, h:h + ty] + ndz[:, :, h:h + tz]
         out_ref[...] = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
         fx_ref[...] = jnp.stack([Fx[..., g], Fx[..., g + nxi]], axis=-1)
-        # (1, nvar, tz, 2, NX) -> (1, nvar, tz, 2, 1, NX)
+        # (1, nvar, tz, 2, NX) -> (1, nvar, 1, tz, 2, NX)
         fy_ref[...] = jnp.stack([Fy[:, :, :, ylo_i], Fy[:, :, :, yhi_i]],
-                                axis=3)[:, :, :, :, None, :]
+                                axis=3)[:, :, None]
         # (1, nvar, 2, ty, NX) -> (1, nvar, 1, 2, ty, NX)
         fz_ref[...] = jnp.stack([Fz[:, :, zlo_i], Fz[:, :, zhi_i]],
                                 axis=2)[:, :, None]
@@ -596,9 +622,11 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
             # x faces: every tile owns its (z, y) patch
             pl.BlockSpec((1, nvar, tz, ty, 2),
                          lambda b, i, j, c: (b, 0, i, j, 0)),
-            # y candidates per (iz, jy): [nb, nvar, NZ, 2, nyb, NX]
-            pl.BlockSpec((1, nvar, tz, 2, 1, NX),
-                         lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+            # y candidates per (iz, jy): [nb, nvar, nyb, NZ, 2, NX]
+            # — the tile axis LEADS (a 1-extent block dim in the sublane
+            # slot would violate Mosaic's 8-alignment)
+            pl.BlockSpec((1, nvar, 1, tz, 2, NX),
+                         lambda b, i, j, c: (b, 0, j, i, 0, 0)),
             # z candidates per (iz, jy): [nb, nvar, nzb, 2, NY, NX]
             pl.BlockSpec((1, nvar, 1, 2, ty, NX),
                          lambda b, i, j, c: (b, 0, i, 0, j, 0)),
@@ -606,7 +634,7 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
         out_shape = [
             jax.ShapeDtypeStruct(u0.shape, dt_),
             jax.ShapeDtypeStruct((nb, nvar, NZ, NY, 2), dt_),
-            jax.ShapeDtypeStruct((nb, nvar, NZ, 2, nyb, NX), dt_),
+            jax.ShapeDtypeStruct((nb, nvar, nyb, NZ, 2, NX), dt_),
             jax.ShapeDtypeStruct((nb, nvar, nzb, 2, NY, NX), dt_),
         ]
         if emit_prim:
@@ -634,7 +662,7 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
         u_new, fx, fy, fz = res[:4]
         prim = res[4] if emit_prim else None
         # keep only the owner tiles' candidate planes
-        slab_y = jnp.stack([fy[:, :, :, 0, ylo_t], fy[:, :, :, 1, yhi_t]],
+        slab_y = jnp.stack([fy[:, :, ylo_t, :, 0], fy[:, :, yhi_t, :, 1]],
                            axis=-1)                 # [nb, nvar, NZ, NX, 2]
         slab_z = jnp.stack([fz[:, :, zlo_t, 0], fz[:, :, zhi_t, 1]],
                            axis=-1)                 # [nb, nvar, NY, NX, 2]
@@ -649,6 +677,44 @@ def _pick_tile(extent: int, want: int) -> int:
         if extent % t == 0:
             return t
     return 1
+
+
+def _pick_tile_sublane(extent: int, want: int) -> int:
+    """Largest MOSAIC-LEGAL sublane tile: the second-to-last block dim
+    must be a multiple of 8 (the f32 sublane quantum) or equal to the
+    overall array dim.  Ghosted layouts (extent = mb + 2g, e.g. 14 or
+    70) often have no 8-multiple divisor at all — fall back to the full
+    extent (always legal; VMEM is then bounded by shrinking the
+    unconstrained leading-axis tile, ``_fit_tz``)."""
+    for t in range(min(want, extent), 7, -1):
+        if extent % t == 0 and t % 8 == 0:
+            return t
+    return extent
+
+
+_VMEM_BUDGET = 10 * 2 ** 20  # conservative live-slab budget (~16 MB VMEM)
+
+
+def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
+            itemsize: int = 4) -> int:
+    """Pick the z tile (a LEADING block dim — unconstrained by Mosaic)
+    so the kernel's working set (~8 live halo-extended slabs) fits
+    VMEM; needed when the sublane tile fell back to the full extent.
+    Prefers tiles >= h so the XLA halo-slab gather stays a bounded
+    fraction (<= 2x) of the tile traffic; tiles < h remain correct
+    (chunked ``_halo_slabs``) but are a last resort."""
+    def est(t):
+        return 8 * nvar * (t + 2 * h) * (ty + 2 * h) * NX * itemsize
+
+    divs = [t for t in range(1, NZ + 1) if NZ % t == 0]
+    fit = [t for t in divs if est(t) <= _VMEM_BUDGET]
+    pref = [t for t in fit if t <= want and t >= h]
+    if pref:
+        return max(pref)
+    big = [t for t in fit if t >= h]
+    if big:
+        return min(big)       # smallest >= h that still fits
+    return max(fit) if fit else 1
 
 
 def make_fused_negdiv_faces(block_shape, dx, cfg, eos, positivity_mask,

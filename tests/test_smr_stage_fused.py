@@ -277,6 +277,97 @@ def test_smr_extended_dedner_matches_uniform_semantics(monkeypatch):
     assert diff > 0.0, "extended Dedner had no effect on SMR"
 
 
+def test_halo_slabs_chunked_small_tiles():
+    """_halo_slabs must deliver the full 2h halo even when the tile is
+    SMALLER than the stencil width (t < h needs ceil(h/t) roll chunks;
+    the old single-roll form silently returned a short slab and Pallas
+    padded the block reads with garbage -> NaNs on 22^3 SMR blocks)."""
+    import jax.numpy as jnp
+    from athenapk_tpu.solver.pallas_sweep import _halo_slabs
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((2, 5, 12, 10, 6)).astype(np.float32)
+    for axis, n in ((2, 12), (3, 10)):
+        for t in (1, 2, 3, 4):
+            if n % t:
+                continue
+            for h in (1, 2, 3, 4):
+                got = np.asarray(_halo_slabs(jnp.asarray(q), t, h, axis))
+                nb_t = n // t
+                for i in range(nb_t):
+                    lo = [(i * t - k) % n for k in range(h, 0, -1)]
+                    hi = [((i + 1) * t + k) % n for k in range(h)]
+                    want = np.take(q, lo + hi, axis=axis)
+                    sl = [slice(None)] * got.ndim
+                    sl[axis] = i
+                    np.testing.assert_array_equal(
+                        got[tuple(sl)], want,
+                        err_msg=f"axis={axis} t={t} h={h} tile={i}")
+
+
+def test_stage_faces_tile_smaller_than_stencil(monkeypatch):
+    """stage+faces with tz < h (forced tz=2, ppm h=3): the 22^3 SMR
+    block shape that NaN'd before the chunked-halo fix, both with the
+    auto-picked tiles and a forced sub-stencil tz (the picker now
+    prefers tz >= h, so the forced case pins the chunked-halo kernel
+    path against regressions)."""
+    import jax
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import prim_to_cons
+    from athenapk_tpu.eos.adiabatic import EOS
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+    from athenapk_tpu.solver import pallas_sweep as ps
+
+    mesh = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=16, mbnx2=16, mbnx3=16,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=3)
+    g = mesh.nghost
+    cfg = HydroConfig(fluid="euler", riemann="hllc", reconstruction="ppm",
+                      integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(mesh, cfg, eos)
+    rng = np.random.default_rng(7)
+    shape = (mesh.nblocks, cfg.nvar) + mesh.block_shape
+    w = np.ones(shape)
+    w[:, 1:4] = 0.3 * rng.standard_normal((shape[0], 3) + shape[2:])
+    w[:, 4] = 1.0 + 0.2 * rng.random((shape[0],) + shape[2:])
+    u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                             "euler")), jnp.float32)
+    u0 = jax.jit(pkg.apply_boundaries)(u0)
+    u1 = u0 * jnp.float32(1.02)
+    gam0, gam1, bdt = (jnp.float32(v) for v in (0.3, 0.7, 2e-3))
+    c_h = jnp.float32(0.0)
+
+    u0f, prim = jax.jit(pkg._cons_to_prim)(u0)
+    fluxes = jax.jit(
+        lambda p, c: pkg._compute_fluxes(p, c, "ppm"))(prim, c_h)
+    nd_ref = -np.asarray(jax.jit(pkg._flux_divergence)(fluxes))
+    u_ref = np.asarray(gam0 * u0f + gam1 * u1) + float(bdt) * nd_ref
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+
+    for tz in (8, 2):   # 8 -> auto pick (>= h preferred); 2 -> t < h
+        if tz < 3:      # force the sub-stencil tile past the picker
+            monkeypatch.setattr(ps, "_fit_tz",
+                                lambda *a, **k: 2)
+        fn = ps.make_fused_stage_faces(
+            mesh.block_shape, (mesh.dx1, mesh.dx2, mesh.dx3), cfg, eos,
+            pkg._positivity_mask, "ppm", g, tz=tz, interpret=True)
+        u_new, _, faces = jax.jit(
+            lambda a, b: fn(a, b, gam0, gam1, bdt, c_h))(u0, u1)
+        assert np.isfinite(np.asarray(u_new)).all(), f"tz={tz}"
+        rel = np.abs(np.asarray(u_new)[sl] - u_ref[sl]).max() \
+            / np.abs(u_ref[sl]).max()
+        assert rel < 1e-5, f"tz={tz}: u_new rel={rel:.2e}"
+        nzi = mesh.mbnx3
+        fz = np.asarray(fluxes[3])
+        want_z = np.stack([fz[:, :, g], fz[:, :, g + nzi]], axis=-1)
+        dz = np.abs(np.asarray(faces[3])[:, :, g:-g, g:-g]
+                    - want_z[:, :, g:-g, g:-g]).max()
+        assert dz < 1e-6, f"tz={tz}: z faces diff={dz:.2e}"
+
+
 def test_stage_faces_kernel_slabs_match_fluxes():
     """Direct kernel check: the face slabs equal the interior boundary
     planes of the raw Riemann fluxes and u_new equals the XLA stage."""
