@@ -72,6 +72,7 @@ def make_lane_sweep_negdiv(cfg, eos, positivity_mask, recon: str, d: int,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(c_h_arr, q)
 
     return negdiv
@@ -125,6 +126,7 @@ def make_lane_sweep_negdiv_faces(cfg, eos, positivity_mask, recon: str,
             out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                        jax.ShapeDtypeStruct((nb, nvar, A, B, 2), q.dtype)),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(c_h_arr, q)
 
     return negdiv_faces
@@ -332,6 +334,7 @@ def make_fused_stage(mesh, cfg, eos, positivity_mask, recon: str,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(s, u0, hz, hy, u1)
 
     return stage
@@ -406,6 +409,7 @@ def make_fused_negdiv_v2(mesh, cfg, eos, positivity_mask, recon: str,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(prim.shape, prim.dtype),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(c_h_arr, *operands)
 
     return negdiv
@@ -517,6 +521,7 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
                                      prim.dtype),
             ),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(c_h_arr, prim, hz, hy)
         # keep only the owner tiles' candidate planes
         slab_y = jnp.stack([fy[:, :, ylo_t, :, 0], fy[:, :, yhi_t, :, 1]],
@@ -658,6 +663,7 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
             grid_spec=grid_spec,
             out_shape=tuple(out_shape),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(s, u0, hz, hy, u1)
         u_new, fx, fy, fz = res[:4]
         prim = res[4] if emit_prim else None
@@ -692,7 +698,22 @@ def _pick_tile_sublane(extent: int, want: int) -> int:
     return extent
 
 
-_VMEM_BUDGET = 10 * 2 ** 20  # conservative live-slab budget (~16 MB VMEM)
+import os as _os
+
+# Mosaic's default scoped-vmem limit is 16 MiB; v5e VMEM is larger, and
+# raising the cap (as the large JAX TPU kernels do) lets the stage
+# kernel keep tz >= h at 256^3 nvar=9 instead of collapsing to chunked
+# sub-stencil tiles.  The measured kernel stack is ~1.6x the 8-slab
+# estimate below, so the tile budget is set to limit/1.6.
+_VMEM_LIMIT = int(_os.environ.get("ATHENAPK_PALLAS_VMEM_MB", "32")) * 2 ** 20
+_VMEM_BUDGET = int(_VMEM_LIMIT / 1.6)
+
+
+def _compiler_params():
+    # every kernel here runs a 3-D grid of fully independent tiles
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        dimension_semantics=("parallel", "parallel", "parallel"))
 
 
 def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
