@@ -63,10 +63,11 @@ class SmrHydro:
                 interior_slices=b.interior_slices)
             for lev in smesh.level_ids}
         self.state_mgr = SmrState(smesh, cfg.nvar, custom_bcs=custom_bcs)
+        # static tuple (Pallas-legal; see hydro_pkg._positivity_mask)
         mask = [False] * cfg.nvar
         mask[IDN] = True
         mask[IPR] = True
-        self._positivity_mask = jnp.asarray(mask)
+        self._positivity_mask = tuple(mask)
         # interior-cell mask [1,1,NZ,NY,NX] for the first-order rescue
         g = smesh.base.nghost
         im = jnp.zeros(smesh.base.block_shape, dtype=bool)

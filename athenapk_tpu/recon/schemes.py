@@ -33,6 +33,7 @@ guarantee the interior stencils are correct), so they never affect results.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.indices import IDN, IPR
@@ -225,9 +226,12 @@ def _minmod(a, b):
 
 
 def limo3(q, axis, dx, positivity_mask=None):
-    """LimO3; ``positivity_mask`` is a per-variable bool [nvar] marking
-    fields (rho, p) that fall back to minmod if an edge value goes
-    non-positive (reference ``ensure_positivity`` for IDN/IPR)."""
+    """LimO3; ``positivity_mask`` is a STATIC per-variable bool sequence
+    [nvar] marking fields (rho, p) that fall back to minmod if an edge
+    value goes non-positive (reference ``ensure_positivity`` for
+    IDN/IPR).  The mask is applied via an in-trace iota compare so the
+    function stays Pallas-legal (a closed-over device array would be a
+    captured constant, which Mosaic rejects)."""
     qm1 = _sh(q, -1, axis)
     qp1 = _sh(q, +1, axis)
     dqp = qp1 - q
@@ -235,12 +239,19 @@ def limo3(q, axis, dx, positivity_mask=None):
     qp = q + 0.5 * dqp * _limo3_phi(dqp, dqm, dx)
     qm = q - 0.5 * dqm * _limo3_phi(dqm, dqp, dx)
 
-    if positivity_mask is not None:
+    if positivity_mask is not None and any(bool(m) for m in positivity_mask):
         dqmm = _minmod(dqp, dqm)
         qp_safe = q + 0.5 * dqmm
         qm_safe = q - 0.5 * dqmm
         bad = (qp <= 0.0) | (qm <= 0.0)
-        mask = positivity_mask.reshape((-1,) + (1,) * 3)  # [nvar,1,1,1]
+        # var axis is always ndim-4 ([..., nvar, nz, ny, nx]); build the
+        # static mask from an iota compare (Mosaic-legal, no captures)
+        vid = jax.lax.broadcasted_iota(jnp.int32, bad.shape, bad.ndim - 4)
+        mask = None
+        for v, m in enumerate(positivity_mask):
+            if bool(m):
+                eq = vid == v
+                mask = eq if mask is None else (mask | eq)
         use_safe = bad & mask
         qp = jnp.where(use_safe, qp_safe, qp)
         qm = jnp.where(use_safe, qm_safe, qm)

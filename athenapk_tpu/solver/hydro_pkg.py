@@ -202,11 +202,13 @@ class HydroPackage:
                 f"reconstruction '{cfg.reconstruction}' needs nghost >= "
                 f"{need}, got {mesh.nghost} (set parthenon/mesh/nghost)")
 
-        # limo3 positivity fallback applies to rho and p (prim layout)
+        # limo3 positivity fallback applies to rho and p (prim layout);
+        # STATIC tuple — a device array would be an (illegal) captured
+        # constant inside the Pallas kernels
         mask = [False] * cfg.nvar
         mask[IDN] = True
         mask[IPR] = True
-        self._positivity_mask = jnp.asarray(mask)
+        self._positivity_mask = tuple(mask)
 
         self._active_dirs = [1]
         if mesh.nx2 > 1:
@@ -266,10 +268,16 @@ class HydroPackage:
             import jax as _jax
             from .pallas_sweep import make_fused_negdiv, make_fused_negdiv_v2
             interp = _jax.default_backend() != "tpu"
-            # v2 (transpose-free halo-slab sweeps) everywhere;
-            # ATHENAPK_PALLAS_V2=0 forces the v1 lane-sweep+transpose
-            # kernels (A/B lever).
-            use_v2 = os.environ.get("ATHENAPK_PALLAS_V2") != "0"
+            # MEASURED default (BENCH_r03 ladder, 256^3 PPM+HLLD f32):
+            # the workload is VPU-compute-bound, not HBM-bound — v1's
+            # transposes are cheap (~1.5 ms/pass at 256^3) while v2's
+            # halo-slab y/z sweeps redo (1+2h/t)^2 ~ 3x of the recon
+            # work, so v1 wins 2.43e8 vs ~1.5e8 zc/s.  3-D meshes
+            # default to v1; 1-D/2-D layouts have no v1 kernels and
+            # always use v2.  ATHENAPK_PALLAS_V2=1/0 forces (A/B lever).
+            three_d = self.mesh.nx2 > 1 and self.mesh.nx3 > 1
+            use_v2 = (not three_d
+                      or os.environ.get("ATHENAPK_PALLAS_V2") == "1")
             if use_v2:
                 cache[recon] = make_fused_negdiv_v2(
                     self.mesh, self.cfg, self.eos, self._positivity_mask,
@@ -301,10 +309,18 @@ class HydroPackage:
         fluxes — 3-D layout (ghost-free or ghosted) and no FOFC (its
         rescue consumes the unfused operands).  Prim-consuming
         epilogues (problem sources, extended Dedner) are served by the
-        kernel's ``emit_prim`` output.  ``ATHENAPK_PALLAS_STAGE=0``
-        forces it off."""
+        kernel's ``emit_prim`` output.
+
+        OPT-IN via ``ATHENAPK_PALLAS_STAGE=1``: measured on device the
+        uniform-mesh stage kernel LOSES to the v1 lane-sweep path
+        (1.46e8 vs 2.43e8 zc/s at 256^3 PPM+HLLD f32 — the workload is
+        VPU-compute-bound and the stage kernel's halo-slab y/z sweeps
+        redo ~3x of the recon work), and its scoped-VMEM footprint OOMs
+        Mosaic on ghosted multi-block layouts (mb<=128).  The SMR path
+        keeps its own default (``SmrHydro._use_stage_fused``: v1 has no
+        multi-axis faces kernel there)."""
         import os
-        if os.environ.get("ATHENAPK_PALLAS_STAGE") == "0":
+        if os.environ.get("ATHENAPK_PALLAS_STAGE") != "1":
             return False
         return (self._use_pallas_sweep(dtype)
                 and self.mesh.nx2 > 1 and self.mesh.nx3 > 1

@@ -237,11 +237,11 @@ def main():
     # backend (a wedge after a banked result still reports that
     # result, not the CPU fallback):
     #   1. pure XLA f32  (BENCH_PALLAS=0 — always compiles)
-    #   2. stage-fused   (whole 2S stage + dt in one kernel — fastest,
-    #      newest; runs after the banked XLA number)
-    #   3. v1 lane-sweep (ATHENAPK_PALLAS_STAGE=0 ATHENAPK_PALLAS_V2=0
-    #      — the round-2-proven 2.4e8 path; only reached if budget
-    #      remains, e.g. when the stage rung failed fast)
+    #   2. stage-fused   (ATHENAPK_PALLAS_STAGE=1 — whole 2S stage + dt
+    #      in one kernel; measured SLOWER than v1 on the VPU-bound
+    #      workload, kept as the A/B rung)
+    #   3. v1 lane-sweep (explicit STAGE=0 V2=0 == the production
+    #      default since r3: the proven 2.4e8 path)
     # The best value across successful rungs is printed.  The whole run
     # honors BENCH_TOTAL_BUDGET (default 1020 s) so the JSON line
     # always lands inside the driver's window.
@@ -266,9 +266,9 @@ def main():
 
     rungs = [
         ("tpu xla", {"BENCH_PALLAS": "0"}, 240),
-        ("tpu stage-fused", {}, 420),
-        ("tpu v1 lane-sweep", {"ATHENAPK_PALLAS_STAGE": "0",
-                               "ATHENAPK_PALLAS_V2": "0"}, 300),
+        ("tpu stage-fused", {"ATHENAPK_PALLAS_STAGE": "1"}, 420),
+        ("tpu v1 lane-sweep (production default)",
+         {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 300),
     ]
     result = None
     for note, env, cap in rungs:

@@ -439,9 +439,19 @@ def test_full_step_fused_stage_matches_xla(monkeypatch):
 
     monkeypatch.delenv("ATHENAPK_PALLAS_SWEEP", raising=False)
     monkeypatch.delenv("ATHENAPK_PALLAS_STAGE", raising=False)
+    monkeypatch.delenv("ATHENAPK_PALLAS_V2", raising=False)
     ref = np.asarray(HydroPackage(mesh, cfg, eos)._step(u0, dt, c_h))
 
+    # stage kernel is OPT-IN since r3 (measured slower than v1 on the
+    # VPU-bound workload; scoped-VMEM OOM on ghosted layouts)
     monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    pkg_def = HydroPackage(mesh, cfg, eos)
+    assert not pkg_def._use_fused_stage(jnp.float32)
+    got_def = np.asarray(pkg_def._step(u0, dt, c_h))  # v1 negdiv default
+    rel = np.abs(got_def - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, f"v1 negdiv (default) step deviates: rel={rel:.2e}"
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_STAGE", "1")
     pkg_stage = HydroPackage(mesh, cfg, eos)
     assert pkg_stage._use_fused_stage(jnp.float32)
     got_stage = np.asarray(pkg_stage._step(u0, dt, c_h))
@@ -449,6 +459,7 @@ def test_full_step_fused_stage_matches_xla(monkeypatch):
     assert rel < 1e-5, f"fused stage step deviates: rel={rel:.2e}"
 
     monkeypatch.setenv("ATHENAPK_PALLAS_STAGE", "0")
+    monkeypatch.setenv("ATHENAPK_PALLAS_V2", "1")
     pkg_nd = HydroPackage(mesh, cfg, eos)
     assert not pkg_nd._use_fused_stage(jnp.float32)
     got_nd = np.asarray(pkg_nd._step(u0, dt, c_h))
