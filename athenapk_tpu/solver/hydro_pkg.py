@@ -326,6 +326,29 @@ class HydroPackage:
                 and self.mesh.nx2 > 1 and self.mesh.nx3 > 1
                 and not self.cfg.first_order_flux_correct)
 
+    def _use_hybrid_dc_stage(self, dtype=None):
+        """OPT-IN (``ATHENAPK_PALLAS_HYBRID=1``) A/B lever: DC-recon
+        stages (VL2's predictor; every stage of a ``reconstruction =
+        dc`` deck) via the whole-stage kernel while full-order stages
+        stay on v1.  The hypothesis was that the DC stage is
+        bandwidth-dominated (trivial recon, h=1), so the stage kernel's
+        fewer HBM passes should win there.  MEASURED FALSE on device
+        (256^3 HLLD+PPM+VL2 f32): 1.87e8 zc/s hybrid vs 2.43e8 pure v1
+        — the *Riemann solve* dominates even the DC stage, and the
+        halo-slab y/z sweeps redo (1+2h/t)^2 ~ 1.5x of the HLLD work at
+        h=1, t=8, outweighing the saved cons_to_prim/transpose/axpy
+        passes.  Kept as a lever (tested in interpret mode); ghost-free
+        3-D only."""
+        import os
+        if os.environ.get("ATHENAPK_PALLAS_HYBRID") != "1":
+            return False
+        return ((self.cfg.integrator == "vl2"
+                 or self.cfg.reconstruction == "dc")
+                and self._use_pallas_sweep(dtype)
+                and self.mesh.nghost == 0
+                and self.mesh.nx2 > 1 and self.mesh.nx3 > 1
+                and not self.cfg.first_order_flux_correct)
+
     def _use_fused_stage_dt(self, dtype=None):
         """dt-emitting stage kernel eligibility: the fused stage plus
         a dt estimate that reduces to the pure hyperbolic CFL over the
@@ -577,13 +600,15 @@ class HydroPackage:
         cur_t = t
         raw_dt = None
         fused_stage = self._use_fused_stage(u.dtype)
+        hybrid_dc = (not fused_stage
+                     and self._use_hybrid_dc_stage(u.dtype))
         assert not emit_dt or self._use_fused_stage_dt(u.dtype)
         for s in range(tab["nstages"]):
             last = s == tab["nstages"] - 1
             recon = cfg.reconstruction
             if cfg.integrator == "vl2" and s == 0:
                 recon = "dc"   # first-order predictor (hydro.cpp:459-464)
-            if fused_stage:
+            if fused_stage or (hybrid_dc and recon == "dc"):
                 # cons->prim happens inside the kernel; skip the
                 # separate prim materialization entirely
                 out = self._fused_stage_update(u0, u1, tab["gam0"][s],

@@ -752,7 +752,7 @@ def make_fused_negdiv_faces(block_shape, dx, cfg, eos, positivity_mask,
     NZ, NY, NX = block_shape
     mk = lambda d, dxd, nint, a, b: make_lane_sweep_negdiv_faces(  # noqa: E731
         cfg, eos, positivity_mask, recon, d, dxd, g, nint,
-        _pick_tile(a, tz), _pick_tile(b, ty), interpret)
+        _pick_tile(a, tz), _pick_tile_sublane(b, ty), interpret)
     sweeps = [
         # x: lanes already minormost; faces canonical (z, y)
         (1, None, None, mk(1, dx[0], NX - 2 * g, NZ, NY)),
@@ -795,14 +795,15 @@ def make_fused_negdiv(mesh, cfg, eos, positivity_mask, recon: str,
     sweeps.append((1, None,
                    make_lane_sweep_negdiv(cfg, eos, positivity_mask, recon,
                                           1, mesh.dx1, _pick_tile(NZ, tz),
-                                          _pick_tile(NY, ty), interpret)))
+                                          _pick_tile_sublane(NY, ty),
+                                          interpret)))
     if mesh.nx2 > 1:
         # y: swap (y, x) -> minor axis y; grid tiles (z, x)
         sweeps.append((2, (0, 1, 2, 4, 3),
                        make_lane_sweep_negdiv(cfg, eos, positivity_mask,
                                               recon, 2, mesh.dx2,
                                               _pick_tile(NZ, tz),
-                                              _pick_tile(NX, ty),
+                                              _pick_tile_sublane(NX, ty),
                                               interpret)))
     if mesh.nx3 > 1:
         # z: swap (z, x) -> minor axis z; grid tiles (x, y)
@@ -810,7 +811,7 @@ def make_fused_negdiv(mesh, cfg, eos, positivity_mask, recon: str,
                        make_lane_sweep_negdiv(cfg, eos, positivity_mask,
                                               recon, 3, mesh.dx3,
                                               _pick_tile(NX, tz),
-                                              _pick_tile(NY, ty),
+                                              _pick_tile_sublane(NY, ty),
                                               interpret)))
 
     def negdiv(prim, c_h):

@@ -241,7 +241,9 @@ def main():
     #      in one kernel; measured SLOWER than v1 on the VPU-bound
     #      workload, kept as the A/B rung)
     #   3. v1 lane-sweep (explicit STAGE=0 V2=0 == the production
-    #      default since r3: the proven 2.4e8 path)
+    #      default since r3: the proven 2.4e8 path; the hybrid DC-stage
+    #      variant measured SLOWER — 1.87e8 — and stays an opt-in
+    #      lever, ATHENAPK_PALLAS_HYBRID=1)
     # The best value across successful rungs is printed.  The whole run
     # honors BENCH_TOTAL_BUDGET (default 1020 s) so the JSON line
     # always lands inside the driver's window.

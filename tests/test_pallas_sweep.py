@@ -543,6 +543,7 @@ def test_full_step_fused_stage_ghosted_matches_xla(monkeypatch):
     ref = np.asarray(pkg_ref._step(u0, dt, c_h))
 
     monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    monkeypatch.setenv("ATHENAPK_PALLAS_STAGE", "1")
     pkg_f = HydroPackage(mesh, cfg, eos)
     assert pkg_f._use_fused_stage(jnp.float32)
     got = np.asarray(pkg_f._step(u0, dt, c_h))
@@ -582,6 +583,7 @@ def test_fused_stage_dt_matches_xla(monkeypatch):
         u, dt, c_h, 0.0)
 
     monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    monkeypatch.setenv("ATHENAPK_PALLAS_STAGE", "1")
     pkg_f = HydroPackage(mesh, cfg, eos)
     assert pkg_f._use_fused_stage_dt(jnp.float32)
     u_f, dts_f = pkg_f.step_with_dt(u, dt, c_h, 0.0)
@@ -590,3 +592,55 @@ def test_fused_stage_dt_matches_xla(monkeypatch):
     assert float(dts_f[1]) == float(dts_ref[1])
     rel = float(jnp.abs(u_f - u_ref).max() / jnp.abs(u_ref).max())
     assert rel < 1e-5, f"fused-dt step deviates: rel={rel:.2e}"
+
+
+def test_hybrid_dc_stage_matches_xla(monkeypatch):
+    """Hybrid step (OPT-IN A/B lever, ATHENAPK_PALLAS_HYBRID=1 — see
+    hydro_pkg._use_hybrid_dc_stage for the on-device measurement that
+    keeps v1 as the default): the DC predictor stage runs the
+    whole-stage kernel, the corrector stays on the v1 lane-sweep —
+    output matches both the XLA step and the pure-v1 step."""
+    import numpy as np
+    import jax.numpy as jnp
+    from athenapk_tpu.core.mesh import Mesh
+    from athenapk_tpu.eos.adiabatic import EOS, prim_to_cons
+    from athenapk_tpu.solver.hydro_pkg import HydroConfig, HydroPackage
+
+    n = 16
+    mesh = Mesh(nx1=n, nx2=n, nx3=n, mbnx1=n, mbnx2=n, mbnx3=n,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=0)
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    rng = np.random.default_rng(11)
+    w = np.ones((1, cfg.nvar, n, n, n), np.float32)
+    w[:, 1:4] = 0.3 * rng.standard_normal((1, 3, n, n, n))
+    w[:, 4] = 1.0 + 0.2 * rng.random((1, n, n, n))
+    w[:, 5:8] = 0.2 * rng.standard_normal((1, 3, n, n, n))
+    u0 = jnp.asarray(np.asarray(prim_to_cons(eos, jnp.asarray(w),
+                                             "glmmhd")), jnp.float32)
+    dt, c_h = jnp.float32(1e-3), jnp.float32(1.2)
+
+    monkeypatch.delenv("ATHENAPK_PALLAS_SWEEP", raising=False)
+    monkeypatch.delenv("ATHENAPK_PALLAS_STAGE", raising=False)
+    monkeypatch.delenv("ATHENAPK_PALLAS_HYBRID", raising=False)
+    ref = np.asarray(HydroPackage(mesh, cfg, eos)._step(u0, dt, c_h))
+
+    monkeypatch.setenv("ATHENAPK_PALLAS_SWEEP", "1")
+    monkeypatch.setenv("ATHENAPK_PALLAS_HYBRID", "1")
+    pkg_h = HydroPackage(mesh, cfg, eos)
+    assert pkg_h._use_hybrid_dc_stage(jnp.float32)
+    assert not pkg_h._use_fused_stage(jnp.float32)   # stage stays opt-in
+    got_h = np.asarray(pkg_h._step(u0, dt, c_h))
+
+    monkeypatch.delenv("ATHENAPK_PALLAS_HYBRID")
+    pkg_v1 = HydroPackage(mesh, cfg, eos)
+    assert not pkg_v1._use_hybrid_dc_stage(jnp.float32)   # opt-in default
+    got_v1 = np.asarray(pkg_v1._step(u0, dt, c_h))
+
+    for got, tag in ((got_h, "hybrid/XLA"), (got_v1, "v1/XLA")):
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-5, f"{tag} deviates: rel={rel:.2e}"
+    rel = np.abs(got_h - got_v1).max() / np.abs(got_v1).max()
+    assert rel < 1e-5, f"hybrid/v1 deviates: rel={rel:.2e}"
