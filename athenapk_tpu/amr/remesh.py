@@ -43,12 +43,14 @@ from .smr import SmrMesh, SmrState
 from .smr_hydro import SmrHydro
 
 
-def _edge_pad(interior, g):
+def _edge_pad(interior, base):
     """Edge-replicate the interior into the ghost shell (device-side):
     face ghosts are refilled by fill_ghosts; corner/edge ghosts are
     never read by the dimension-split hyperbolic update but must hold
-    valid (non-zero-density) states."""
-    return jnp.pad(interior, ((0, 0), (0, 0), (g, g), (g, g), (g, g)),
+    valid (non-zero-density) states.  Inactive dims carry no ghosts."""
+    return jnp.pad(interior,
+                   ((0, 0), (0, 0), (base.ng3, base.ng3),
+                    (base.ng2, base.ng2), (base.ng1, base.ng1)),
                    mode="edge")
 
 
@@ -61,14 +63,20 @@ def remesh(smesh: SmrMesh, state, tags, custom_bcs=None):
 
     Transfers are batched device gathers grouped by kind (and by octant
     for prolong/restrict), so a remesh costs O(levels * 9) device ops
-    rather than O(leaves) host copies.
+    rather than O(leaves) host copies.  Dimension-generic: on 2-D/1-D
+    meshes children halve only the active dims (2^ndim per parent).
     """
     base = smesh.base
-    g = base.nghost
+    ndim = base.ndim
     nz, ny, nx = base.mbnx3, base.mbnx2, base.mbnx1
-    hz, hy, hx = nz // 2, ny // 2, nx // 2
-    isl = (slice(None), slice(None), slice(g, g + nz), slice(g, g + ny),
-           slice(g, g + nx))
+    g3, g2, g1 = base.ng3, base.ng2, base.ng1
+    act2, act3 = base.nx2 > 1, base.nx3 > 1
+    hz = nz // 2 if act3 else nz
+    hy = ny // 2 if act2 else ny
+    hx = nx // 2
+    noct = 1 << ndim
+    isl = (slice(None), slice(None), slice(g3, g3 + nz),
+           slice(g2, g2 + ny), slice(g1, g1 + nx))
 
     # snapshot old table before the forest mutates
     old_by_loc = dict(smesh._by_loc)
@@ -89,9 +97,9 @@ def remesh(smesh: SmrMesh, state, tags, custom_bcs=None):
         out = jnp.zeros((len(ids), nvar) + base.block_shape, dtype)
         # ---- group the transfer map by kind / octant (host, indices only)
         copy_dst, copy_src = [], []
-        pro = {oc: ([], []) for oc in range(8)}   # octant -> (dst, src)
+        pro = {oc: ([], []) for oc in range(noct)}  # octant -> (dst, src)
         res_dst = []
-        res_kids = {oc: [] for oc in range(8)}    # octant -> old fine li
+        res_kids = {oc: [] for oc in range(noct)}   # octant -> old fine li
         for li, gid in enumerate(ids):
             k = int(kind[gid])
             if k == COPY:
@@ -105,10 +113,11 @@ def remesh(smesh: SmrMesh, state, tags, custom_bcs=None):
                 a, b, c = (int(new_sm.lx1[gid]), int(new_sm.lx2[gid]),
                            int(new_sm.lx3[gid]))
                 res_dst.append(li)
-                for oc in range(8):
+                for oc in range(noct):
                     cx, cy, cz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
-                    kid = old_by_loc[(lev + 1, 2 * a + cx, 2 * b + cy,
-                                      2 * c + cz)]
+                    kid = old_by_loc[(lev + 1, 2 * a + cx,
+                                      (2 * b if act2 else b) + cy,
+                                      (2 * c if act3 else c) + cz)]
                     res_kids[oc].append(old_loc_of[kid][1])
             else:  # pragma: no cover
                 raise RuntimeError(f"unknown transfer kind {k}")
@@ -117,31 +126,37 @@ def remesh(smesh: SmrMesh, state, tags, custom_bcs=None):
         if copy_dst:
             out = out.at[jnp.asarray(copy_dst)].set(
                 old[lev][jnp.asarray(copy_src)])
-        for oc in range(8):
+        for oc in range(noct):
             dst, src = pro[oc]
             if not dst:
                 continue
             ox, oy, oz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
             reg = old[lev - 1][jnp.asarray(src)][
                 :, :,
-                g + oz * hz - 1:g + (oz + 1) * hz + 1,
-                g + oy * hy - 1:g + (oy + 1) * hy + 1,
-                g + ox * hx - 1:g + (ox + 1) * hx + 1]
-            fine = prolongate_minmod(reg, dims=3)
-            # fine covers virtual cells [-2, n+2); interior = [2, n+2)
-            interior = fine[:, :, 2:nz + 2, 2:ny + 2, 2:nx + 2]
-            out = out.at[jnp.asarray(dst)].set(_edge_pad(interior, g))
+                (slice(g3 + oz * hz - 1, g3 + (oz + 1) * hz + 1)
+                 if act3 else slice(0, nz)),
+                (slice(g2 + oy * hy - 1, g2 + (oy + 1) * hy + 1)
+                 if act2 else slice(0, ny)),
+                slice(g1 + ox * hx - 1, g1 + (ox + 1) * hx + 1)]
+            fine = prolongate_minmod(reg, dims=ndim)
+            # fine covers virtual cells [-2, n+2) on active dims;
+            # interior = [2, n+2)
+            interior = fine[:, :,
+                            slice(2, nz + 2) if act3 else slice(0, nz),
+                            slice(2, ny + 2) if act2 else slice(0, ny),
+                            slice(2, nx + 2)]
+            out = out.at[jnp.asarray(dst)].set(_edge_pad(interior, base))
         if res_dst:
             merged = jnp.zeros((len(res_dst), nvar, nz, ny, nx), dtype)
-            for oc in range(8):
+            for oc in range(noct):
                 cx, cy, cz = oc & 1, (oc >> 1) & 1, (oc >> 2) & 1
                 kids = old[lev + 1][jnp.asarray(res_kids[oc])][isl]
-                rest = restrict_average(kids, dims=3)
+                rest = restrict_average(kids, dims=ndim)
                 merged = merged.at[:, :,
                                    cz * hz:(cz + 1) * hz,
                                    cy * hy:(cy + 1) * hy,
                                    cx * hx:(cx + 1) * hx].set(rest)
-            out = out.at[jnp.asarray(res_dst)].set(_edge_pad(merged, g))
+            out = out.at[jnp.asarray(res_dst)].set(_edge_pad(merged, base))
         new_state[lev] = out
 
     new_state = SmrState(new_sm, nvar,
@@ -167,6 +182,11 @@ class _PaddedStepper:
         self.cfg = inner.cfg
         self.sts = inner.sts
         self.diffusion = inner.diffusion
+        # split sources act on the {level: array} layout; the sharded
+        # stepper wrappers don't re-expose them (sharded runs are the
+        # dryrun/test path — deck-driven SmrSimulation never wraps)
+        self.problem_source_first_order = None
+        self.problem_source_strang = None
         counts = {lev: len(ids)
                   for lev, ids in inner.smesh.level_ids.items()}
         self._counts = counts
@@ -239,6 +259,9 @@ class _FlatStepper:
         self.cfg = inner.cfg
         self.sts = inner.sts
         self.diffusion = inner.diffusion
+        # see _PaddedStepper: split sources not re-exposed under sharding
+        self.problem_source_first_order = None
+        self.problem_source_strang = None
         D = owner._ndev()
         self._levels = sorted(inner.smesh.level_ids)
         counts = {lev: len(inner.smesh.level_ids[lev])
@@ -355,6 +378,7 @@ class AmrHydro:
                  check_interval=1, derefine_count=10, cooling=None,
                  diffusion=None, problem_source_factory=None,
                  problem_first_order_factory=None,
+                 problem_strang_factory=None,
                  sharding=None, custom_bcs=None, problem_check=None,
                  layout="flat"):
         self.smesh = smesh
@@ -383,8 +407,11 @@ class AmrHydro:
         # coordinate closures must be rebuilt when the mesh changes
         self.problem_source_factory = problem_source_factory
         # factory(smesh) -> src(state, dt, t) | None: first-order split
-        # sources (once per cycle at full dt on the last stage)
+        # sources (once per cycle at full dt on the last stage) and
+        # Strang split sources (applied before stage 1 AND after the
+        # last stage by the driver loop)
         self.problem_first_order_factory = problem_first_order_factory
+        self.problem_strang_factory = problem_strang_factory
         self.refine_cfg = refine_cfg
         self.check_interval = max(1, int(check_interval))
         # a leaf must request derefinement this many CONSECUTIVE checks
@@ -411,11 +438,15 @@ class AmrHydro:
             src_fo = (self.problem_first_order_factory(self.smesh)
                       if self.problem_first_order_factory is not None
                       else None)
+            src_strang = (self.problem_strang_factory(self.smesh)
+                          if self.problem_strang_factory is not None
+                          else None)
             st = SmrHydro(self.smesh, self.cfg, self.eos,
                           cooling=self.cooling,
                           diffusion=self.diffusion,
                           problem_source_unsplit=src,
                           problem_source_first_order=src_fo,
+                          problem_source_strang=src_strang,
                           custom_bcs=self.custom_bcs)
             if self.sharding is not None:
                 st = (_FlatStepper(st, self) if self.layout == "flat"

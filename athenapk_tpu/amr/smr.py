@@ -57,8 +57,8 @@ class SmrMesh:
     """
 
     def __init__(self, base: Mesh, regions, max_level=None):
-        if base.ndim != 3:
-            raise NotImplementedError("SMR currently 3D only")
+        if base.ndim < 1:
+            raise ValueError("SMR needs at least a 1-D mesh")
         self.base = base
         # max_level: refinement ceiling (the deck's <parthenon/mesh>
         # numlevel - 1); defaults to the deepest static region
@@ -67,10 +67,13 @@ class SmrMesh:
             max_level = region_max
         if max_level < region_max:
             raise ValueError("max_level below deepest static region")
-        forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
+        forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=base.ndim,
                            max_level=max_level,
                            periodic=_periodicity(base))
-        # iteratively refine blocks intersecting each region up to its level
+        # iteratively refine blocks intersecting each region up to its
+        # level; inactive dimensions never refine (scale factor 1)
+        act2 = base.nx2 > 1
+        act3 = base.nx3 > 1
         for _ in range(region_max):
             levels, lx1, lx2, lx3 = forest.leaves()
             tags = np.zeros(forest.num_leaves, np.int32)
@@ -78,9 +81,12 @@ class SmrMesh:
                 for i in range(forest.num_leaves):
                     if levels[i] >= lev:
                         continue
-                    w1 = (base.x1max - base.x1min) / (base.nb1 << levels[i])
-                    w2 = (base.x2max - base.x2min) / (base.nb2 << levels[i])
-                    w3 = (base.x3max - base.x3min) / (base.nb3 << levels[i])
+                    s = 1 << levels[i]
+                    w1 = (base.x1max - base.x1min) / (base.nb1 * s)
+                    w2 = (base.x2max - base.x2min) / (
+                        base.nb2 * (s if act2 else 1))
+                    w3 = (base.x3max - base.x3min) / (
+                        base.nb3 * (s if act3 else 1))
                     bx0 = base.x1min + lx1[i] * w1
                     by0 = base.x2min + lx2[i] * w2
                     bz0 = base.x3min + lx3[i] * w3
@@ -115,7 +121,7 @@ class SmrMesh:
         levels = np.asarray(levels)
         if max_level is None:
             max_level = int(levels.max())
-        forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=3,
+        forest = AmrForest(base.nb1, base.nb2, base.nb3, ndim=base.ndim,
                            max_level=max_level,
                            periodic=_periodicity(base))
         target = {(int(l), int(a), int(b), int(c))
@@ -150,10 +156,25 @@ class SmrMesh:
         sm._adopt_forest(forest)
         return sm
 
+    def _scales(self, level):
+        """Per-dimension refinement scale: 2^level on active dims, 1 on
+        inactive (a 2-D mesh never refines z)."""
+        b = self.base
+        s = 1 << level
+        return (s, s if b.nx2 > 1 else 1, s if b.nx3 > 1 else 1)
+
     def dx(self, level):
         b = self.base
-        return (b.dx1 / (1 << level), b.dx2 / (1 << level),
-                b.dx3 / (1 << level))
+        s1, s2, s3 = self._scales(level)
+        return (b.dx1 / s1, b.dx2 / s2, b.dx3 / s3)
+
+    def min_dx(self, level):
+        """Minimum cell width over ACTIVE dims at a level (the SMR
+        analog of ``Mesh.min_dx``)."""
+        b = self.base
+        d = self.dx(level)
+        return min(d[i] for i, n in enumerate((b.nx1, b.nx2, b.nx3))
+                   if n > 1)
 
     def find(self, level, a, b, c):
         """Leaf id at location, or -1."""
@@ -163,8 +184,9 @@ class SmrMesh:
         """Wrap a neighbor location periodically; ``None`` when it
         crosses a non-periodic domain boundary (physical-BC face)."""
         per = _periodicity(self.base)
-        ext = (self.base.nb1 << level, self.base.nb2 << level,
-               self.base.nb3 << level)
+        s1, s2, s3 = self._scales(level)
+        ext = (self.base.nb1 * s1, self.base.nb2 * s2,
+               self.base.nb3 * s3)
         out = []
         for v, e, p in zip((a, b, c), ext, per):
             if 0 <= v < e:
@@ -177,9 +199,10 @@ class SmrMesh:
 
     def block_origin(self, leaf_id):
         lev = int(self.levels[leaf_id])
-        w1 = self.base.dx1 * self.base.mbnx1 / (1 << lev)
-        w2 = self.base.dx2 * self.base.mbnx2 / (1 << lev)
-        w3 = self.base.dx3 * self.base.mbnx3 / (1 << lev)
+        s1, s2, s3 = self._scales(lev)
+        w1 = self.base.dx1 * self.base.mbnx1 / s1
+        w2 = self.base.dx2 * self.base.mbnx2 / s2
+        w3 = self.base.dx3 * self.base.mbnx3 / s3
         return (self.base.x1min + self.lx1[leaf_id] * w1,
                 self.base.x2min + self.lx2[leaf_id] * w2,
                 self.base.x3min + self.lx3[leaf_id] * w3)
@@ -190,10 +213,9 @@ class SmrMesh:
         lev = int(self.levels[leaf_id])
         d1, d2, d3 = self.dx(lev)
         x0, y0, z0 = self.block_origin(leaf_id)
-        g = b.nghost
-        x = x0 + (np.arange(b.NX) - g + 0.5) * d1
-        y = y0 + (np.arange(b.NY) - g + 0.5) * d2
-        z = z0 + (np.arange(b.NZ) - g + 0.5) * d3
+        x = x0 + (np.arange(b.NX) - b.ng1 + 0.5) * d1
+        y = y0 + (np.arange(b.NY) - b.ng2 + 0.5) * d2
+        z = z0 + (np.arange(b.NZ) - b.ng3 + 0.5) * d3
         return (x[None, None, :], y[None, :, None], z[:, None, None])
 
 
@@ -210,13 +232,31 @@ class SmrState:
         self.custom_bcs = custom_bcs or {}
         b = smesh.base
         self.block_shape = b.block_shape
-        if b.nghost > min(b.mbnx1, b.mbnx2, b.mbnx3) // 2:
+        # per-array-axis descriptors (axis 1=z, 2=y, 3=x of the
+        # [nvar, NZ, NY, NX] block layout); inactive dimensions
+        # (2-D/1-D decks) carry no ghosts, never halve, and have no
+        # faces — the machinery below is dimension-generic through them
+        self.ndim = b.ndim
+        self.n_of = {3: b.mbnx1, 2: b.mbnx2, 1: b.mbnx3}
+        self.g_of = {3: b.ng1, 2: b.ng2, 1: b.ng3}
+        self.act = {3: True, 2: b.nx2 > 1, 1: b.nx3 > 1}
+        self.half_of = {ax: (n // 2 if self.act[ax] else n)
+                        for ax, n in self.n_of.items()}
+        self.nfaces = 2 * self.ndim
+        self.noct = 1 << self.ndim          # children per refinement
+        active_mb = [self.n_of[ax] for ax in (1, 2, 3) if self.act[ax]]
+        if b.nghost > min(active_mb) // 2:
             raise ValueError("SMR requires nghost <= meshblock/2 (the "
                              "restricted fine slab must cover the ghosts)")
         # plans[level] = list of fill ops; built lazily below
         self._plans = {lev: self._build_plan(lev)
                        for lev in smesh.level_ids}
         self._batch = self._build_batches()
+
+    def _obit(self, oc):
+        """Octant bit per array axis (forest encoding: x=bit0, y=bit1,
+        z=bit2; inactive bits are always 0 since oc < 2^ndim)."""
+        return {3: oc & 1, 2: (oc >> 1) & 1, 1: (oc >> 2) & 1}
 
     def _build_batches(self):
         """Group plan ops into batched gathers: one (gather, set) per
@@ -228,9 +268,9 @@ class SmrState:
                 loc_of[gid] = (lev, li)
         batch = {}
         for lev, plan in self._plans.items():
-            same = {f: ([], []) for f in range(6)}
+            same = {f: ([], []) for f in range(self.nfaces)}
             coarse = {}
-            fine = {f: ([], []) for f in range(6)}
+            fine = {f: ([], []) for f in range(self.nfaces)}
             for (li, face, kind, payload) in plan:
                 if kind == "same":
                     slev, sli = loc_of[payload]
@@ -243,11 +283,11 @@ class SmrState:
                     d.append(li)
                     s.append(cli)
                 elif kind == "fine":
-                    kids = sorted(payload)  # by octant 0..7
+                    kids = sorted(payload)  # by octant
                     fine[face][0].append(li)
                     fine[face][1].append([loc_of[kid][1]
                                           for (_, kid) in kids])
-            phys = {f: [] for f in range(6)}
+            phys = {f: [] for f in range(self.nfaces)}
             for (li, face, kind, payload) in plan:
                 if kind == "phys":
                     phys[face].append(li)
@@ -277,11 +317,11 @@ class SmrState:
         sm = self.smesh
         ops = []  # (block_local_idx, face, kind, payload)
         ids = sm.level_ids[lev]
+        offsets = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                   (0, 0, -1), (0, 0, 1)][:self.nfaces]
         for loc_i, gid in enumerate(ids):
             a, b_, c = int(sm.lx1[gid]), int(sm.lx2[gid]), int(sm.lx3[gid])
-            for face, (dx, dy, dz) in enumerate(
-                    [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
-                     (0, 0, -1), (0, 0, 1)]):
+            for face, (dx, dy, dz) in enumerate(offsets):
                 loc = sm.wrap(lev, a + dx, b_ + dy, c + dz)
                 if loc is None:
                     # crosses a non-periodic domain boundary
@@ -299,16 +339,20 @@ class SmrState:
                     octant = (na & 1) | ((nb_ & 1) << 1) | ((nc & 1) << 2)
                     ops.append((loc_i, face, "coarse", (coarse, octant)))
                     continue
-                # fine neighbors: only the 4 children of the neighbor
-                # location TOUCHING my face must be leaves at lev+1 (the
-                # far-side children may themselves be refined deeper —
-                # legal under 2:1 balance, which constrains only
-                # face-adjacent leaves)
-                fa, fb, fc = 2 * na, 2 * nb_, 2 * nc
+                # fine neighbors: only the 2^(ndim-1) children of the
+                # neighbor location TOUCHING my face must be leaves at
+                # lev+1 (the far-side children may themselves be refined
+                # deeper — legal under 2:1 balance, which constrains
+                # only face-adjacent leaves).  Inactive dims never split
+                # (the forest's lx stays 0 and its octant bit is 0).
+                b = sm.base
+                fa = 2 * na
+                fb = 2 * nb_ if b.nx2 > 1 else nb_
+                fc = 2 * nc if b.nx3 > 1 else nc
                 bit = face // 2          # octant bit along the face axis
                 want = 1 if face % 2 == 0 else 0
                 kids = []
-                for oc in range(8):
+                for oc in range(self.noct):
                     if (oc >> bit) & 1 != want:
                         continue
                     ka = fa + (oc & 1)
@@ -317,7 +361,7 @@ class SmrState:
                     kid = sm.find(lev + 1, ka, kb, kc)
                     if kid >= 0:
                         kids.append((oc, kid))
-                if len(kids) == 4:
+                if len(kids) == self.noct // 2:
                     ops.append((loc_i, face, "fine", kids))
                 else:
                     raise RuntimeError(
@@ -335,33 +379,29 @@ class SmrState:
         prolongation stencil sees already-valid coarse ghosts.
         """
         sm = self.smesh
-        b = sm.base
-        g = b.nghost
-        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
-        n_of_axis = {3: nx, 2: ny, 1: nz}
+        n_of, g_of = self.n_of, self.g_of
+        half_of, act = self.half_of, self.act
         out = dict(state)
 
         def ghost_slab(face):
             """(slice into my block, axis, lo) for the face's ghost slab
             (transverse extent: interior only; corners come via the
             dimension-sweep of repeated fills)."""
-            sl = [slice(None), slice(g, g + nz), slice(g, g + ny),
-                  slice(g, g + nx)]
+            sl = [slice(None)] + [slice(g_of[ax], g_of[ax] + n_of[ax])
+                                  for ax in (1, 2, 3)]
             axis = 3 - face // 2
             lo = face % 2 == 0
-            sl[axis] = slice(0, g) if lo else slice(g + n_of_axis[axis],
-                                                    2 * g + n_of_axis[axis])
+            g, n = g_of[axis], n_of[axis]
+            sl[axis] = slice(0, g) if lo else slice(g + n, 2 * g + n)
             return tuple(sl), axis, lo
 
         def src_slab(axis, lo):
             """Interior slab of the same-level source block."""
-            sl = [slice(None), slice(g, g + nz), slice(g, g + ny),
-                  slice(g, g + nx)]
-            n = n_of_axis[axis]
+            sl = [slice(None)] + [slice(g_of[ax], g_of[ax] + n_of[ax])
+                                  for ax in (1, 2, 3)]
+            g, n = g_of[axis], n_of[axis]
             sl[axis] = slice(n, n + g) if lo else slice(g, 2 * g)
             return tuple(sl)
-
-        hx, hy, hz = nx // 2, ny // 2, nz // 2
 
         # batched passes: one gather+scatter per (level, face[, octant])
         for kind_pass in ("fine", "same", "coarse"):
@@ -377,49 +417,60 @@ class SmrState:
                 elif kind_pass == "coarse":
                     for (face, octant), (d, s) in groups.items():
                         gsl, axis, lo = ghost_slab(face)
-                        ox, oy, oz = (octant & 1, (octant >> 1) & 1,
-                                      (octant >> 2) & 1)
+                        ob = self._obit(octant)
                         cu = out[lev - 1][s]
-                        reg = cu[:, :,
-                                 g + oz * hz - 1:g + (oz + 1) * hz + 1,
-                                 g + oy * hy - 1:g + (oy + 1) * hy + 1,
-                                 g + ox * hx - 1:g + (ox + 1) * hx + 1]
-                        fine = prolongate_minmod(reg, dims=3)
+                        # coarse source region: the octant's half plus a
+                        # 1-cell minmod margin on ACTIVE axes
+                        rsl = [slice(None), slice(None)]
+                        for ax in (1, 2, 3):
+                            if act[ax]:
+                                h = half_of[ax]
+                                o = g_of[ax] + ob[ax] * h
+                                rsl.append(slice(o - 1, o + h + 1))
+                            else:
+                                rsl.append(slice(0, n_of[ax]))
+                        fine = prolongate_minmod(cu[tuple(rsl)],
+                                                 dims=self.ndim)
                         # fine covers virtual neighbor cells [-2, n+2)
-                        sel = [slice(None), slice(None),
-                               slice(2, nz + 2), slice(2, ny + 2),
-                               slice(2, nx + 2)]
-                        n = n_of_axis[axis]
-                        sel[axis - 4] = (slice(n - g + 2, n + 2) if lo
+                        # on active axes (margin doubles to 2)
+                        sel = [slice(None), slice(None)] + [
+                            slice(2, n_of[ax] + 2) if act[ax]
+                            else slice(0, n_of[ax]) for ax in (1, 2, 3)]
+                        g, n = g_of[axis], n_of[axis]
+                        sel[axis + 1] = (slice(n - g + 2, n + 2) if lo
                                          else slice(2, 2 + g))
                         u = u.at[(d,) + gsl].set(fine[tuple(sel)])
-                else:  # fine (4 face-touching kids per op)
+                else:  # fine (2^(ndim-1) face-touching kids per op)
                     for face, (d, kidmat) in groups.items():
                         gsl, axis, lo = ghost_slab(face)
                         nops = kidmat.shape[0]
                         bit = face // 2
                         want = 1 if face % 2 == 0 else 0
-                        ocs = [oc for oc in range(8)
+                        ocs = [oc for oc in range(self.noct)
                                if (oc >> bit) & 1 == want]
                         ku = out[lev + 1][kidmat.reshape(-1)]
+                        ksl = (slice(None), slice(None)) + tuple(
+                            slice(g_of[ax], g_of[ax] + n_of[ax])
+                            for ax in (1, 2, 3))
                         rest = restrict_average(
-                            ku[:, :, g:g + nz, g:g + ny, g:g + nx],
-                            dims=3).reshape(nops, len(ocs), self.nvar,
-                                            hz, hy, hx)
-                        agg = jnp.zeros((nops, self.nvar, nz, ny, nx),
+                            ku[ksl], dims=self.ndim).reshape(
+                            nops, len(ocs), self.nvar,
+                            half_of[1], half_of[2], half_of[3])
+                        agg = jnp.zeros((nops, self.nvar, n_of[1],
+                                         n_of[2], n_of[3]),
                                         dtype=u.dtype)
                         for idx, oc in enumerate(ocs):
-                            ox, oy, oz = (oc & 1, (oc >> 1) & 1,
-                                          (oc >> 2) & 1)
-                            agg = agg.at[:, :,
-                                         oz * hz:(oz + 1) * hz,
-                                         oy * hy:(oy + 1) * hy,
-                                         ox * hx:(ox + 1) * hx].set(
-                                rest[:, idx])
-                        vsl = [slice(None), slice(None), slice(0, nz),
-                               slice(0, ny), slice(0, nx)]
-                        n = n_of_axis[axis]
-                        vsl[axis - 4] = (slice(n - g, n) if lo
+                            ob = self._obit(oc)
+                            psl = (slice(None), slice(None)) + tuple(
+                                slice(ob[ax] * half_of[ax],
+                                      (ob[ax] + 1) * half_of[ax])
+                                if act[ax] else slice(0, n_of[ax])
+                                for ax in (1, 2, 3))
+                            agg = agg.at[psl].set(rest[:, idx])
+                        vsl = [slice(None), slice(None)] + [
+                            slice(0, n_of[ax]) for ax in (1, 2, 3)]
+                        g, n = g_of[axis], n_of[axis]
+                        vsl[axis + 1] = (slice(n - g, n) if lo
                                          else slice(0, g))
                         u = u.at[(d,) + gsl].set(agg[tuple(vsl)])
                 out[lev] = u
@@ -437,9 +488,7 @@ class SmrState:
         consistently BC-derived."""
         sm = self.smesh
         b = sm.base
-        g = b.nghost
-        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
-        n_of_axis = {3: nx, 2: ny, 1: nz}
+        n_of, g_of = self.n_of, self.g_of
         bc_of_face = (b.ix1_bc, b.ox1_bc, b.ix2_bc, b.ox2_bc,
                       b.ix3_bc, b.ox3_bc)
         from ..core.indices import IM1, IM2, IM3
@@ -451,11 +500,12 @@ class SmrState:
                 bc = bc_of_face[face]
                 axis = 3 - face // 2
                 lo = face % 2 == 0
-                n = n_of_axis[axis]
+                g, n = g_of[axis], n_of[axis]
                 base_sl = [slice(None)] + [None] * 3
                 for ax in (1, 2, 3):
                     base_sl[ax] = (slice(None) if extended
-                                   else slice(g, g + n_of_axis[ax]))
+                                   else slice(g_of[ax],
+                                              g_of[ax] + n_of[ax]))
                 gsl = list(base_sl)
                 gsl[axis] = slice(0, g) if lo else slice(g + n, 2 * g + n)
                 blocks = u[didx]
@@ -509,91 +559,103 @@ class SmrState:
         sm = self.smesh
         b = sm.base
         g = b.nghost
-        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
-        n_of_axis = {3: nx, 2: ny, 1: nz}
-        hx, hy, hz = nx // 2, ny // 2, nz // 2
-        half_of = {3: hx, 2: hy, 1: hz}
+        n_of, g_of = self.n_of, self.g_of
+        half_of, act = self.half_of, self.act
         R = 2
         fr = g // 2
         if g > 2 * R:
             raise ValueError("SMR corner fill supports nghost <= 4")
+        if self.ndim == 1:
+            return out    # no transverse dims, no corners
 
         def strip(axis, lo):
-            n = n_of_axis[axis]
+            n = n_of[axis]
             return slice(0, g) if lo else slice(g + n, 2 * g + n)
 
         for lev in sorted(sm.level_ids):
             u = out[lev]
-            # ---- (a) prolongation redo: both transverse dims widened
+            # ---- (a) prolongation redo: ACTIVE transverse dims widened
             for (face, octant), (d, s) in self._batch[lev]["coarse"].items():
                 axis = 3 - face // 2
                 lo = face % 2 == 0
-                ox, oy, oz = (octant & 1, (octant >> 1) & 1,
-                              (octant >> 2) & 1)
+                ob = self._obit(octant)
                 cu = out[lev - 1][s]
-                reg = cu[:, :,
-                         g + oz * hz - R:g + (oz + 1) * hz + R,
-                         g + oy * hy - R:g + (oy + 1) * hy + R,
-                         g + ox * hx - R:g + (ox + 1) * hx + R]
-                fine = prolongate_minmod(reg, dims=3)
+                rsl = [slice(None), slice(None)]
+                for ax in (1, 2, 3):
+                    if act[ax]:
+                        h = half_of[ax]
+                        o = g_of[ax] + ob[ax] * h
+                        rsl.append(slice(o - R, o + h + R))
+                    else:
+                        rsl.append(slice(0, n_of[ax]))
+                fine = prolongate_minmod(cu[tuple(rsl)], dims=self.ndim)
                 gsl = [slice(None)] * 4
                 sel = [slice(None), slice(None), None, None, None]
                 for ax in (1, 2, 3):
-                    n = n_of_axis[ax]
-                    gsl[ax] = slice(0, 2 * g + n)
-                    sel[ax + 1] = slice(2 * R - g, 2 * R + n + g)
-                n = n_of_axis[axis]
+                    n = n_of[ax]
+                    if act[ax]:
+                        gsl[ax] = slice(0, 2 * g + n)
+                        sel[ax + 1] = slice(2 * R - g, 2 * R + n + g)
+                    else:
+                        gsl[ax] = slice(0, n)
+                        sel[ax + 1] = slice(0, n)
+                n = n_of[axis]
                 gsl[axis] = strip(axis, lo)
                 sel[axis + 1] = (slice(n - g + 2 * R, n + 2 * R) if lo
                                  else slice(2 * R, 2 * R + g))
                 u = u.at[(d,) + tuple(gsl)].set(fine[tuple(sel)])
-            # ---- (b) restriction redo: one transverse dim at a time
+            # ---- (b) restriction redo: one ACTIVE transverse dim at a
+            # time (reads the kids' round-1 face ghosts)
             for face, (d, kidmat) in self._batch[lev]["fine"].items():
                 axis = 3 - face // 2
                 lo = face % 2 == 0
                 bit = face // 2
                 want = 1 if face % 2 == 0 else 0
-                ocs = [oc for oc in range(8) if (oc >> bit) & 1 == want]
+                ocs = [oc for oc in range(self.noct)
+                       if (oc >> bit) & 1 == want]
                 nops = kidmat.shape[0]
-                for ext in (t for t in (1, 2, 3) if t != axis):
+                for ext in (t for t in (1, 2, 3)
+                            if t != axis and act[t]):
                     ksl = [slice(None), slice(None), None, None, None]
                     half = {}
                     for ax in (1, 2, 3):
-                        n = n_of_axis[ax]
+                        n = n_of[ax]
                         if ax == ext:
                             ksl[ax + 1] = slice(g - 2 * fr, g + n + 2 * fr)
                             half[ax] = n // 2 + 2 * fr
-                        else:
-                            ksl[ax + 1] = slice(g, g + n)
+                        elif act[ax]:
+                            ksl[ax + 1] = slice(g_of[ax], g_of[ax] + n)
                             half[ax] = n // 2
+                        else:
+                            ksl[ax + 1] = slice(0, n)
+                            half[ax] = n
                     ku = out[lev + 1][kidmat.reshape(-1)]
                     rest = restrict_average(
-                        ku[tuple(ksl)], dims=3).reshape(
+                        ku[tuple(ksl)], dims=self.ndim).reshape(
                         (nops, len(ocs), self.nvar,
                          half[1], half[2], half[3]))
-                    ag_n = {ax: n_of_axis[ax] + (2 * fr if ax == ext
-                                                 else 0)
+                    ag_n = {ax: n_of[ax] + (2 * fr if ax == ext else 0)
                             for ax in (1, 2, 3)}
                     agg = jnp.zeros((nops, self.nvar, ag_n[1], ag_n[2],
                                      ag_n[3]), dtype=u.dtype)
                     for idx, oc in enumerate(ocs):
-                        obit = {3: oc & 1, 2: (oc >> 1) & 1,
-                                1: (oc >> 2) & 1}
+                        obit = self._obit(oc)
                         psl = [slice(None), slice(None), None, None, None]
                         for ax in (1, 2, 3):
-                            off = obit[ax] * half_of[ax]
+                            off = (obit[ax] * half_of[ax] if act[ax]
+                                   else 0)
                             psl[ax + 1] = slice(off, off + half[ax])
                         agg = agg.at[tuple(psl)].set(rest[:, idx])
                     gsl = [slice(None)] * 4
                     vsl = [slice(None), slice(None), None, None, None]
                     for ax in (1, 2, 3):
-                        n = n_of_axis[ax]
+                        n = n_of[ax]
                         if ax == ext:
                             gsl[ax] = slice(g - fr, g + n + fr)
                         else:
-                            gsl[ax] = slice(g, g + n)
+                            gsl[ax] = slice(g_of[ax], g_of[ax] + n)
                         vsl[ax + 1] = slice(0, ag_n[ax])
-                    n = n_of_axis[axis]
+                    n = n_of[axis]
                     gsl[axis] = strip(axis, lo)
                     vsl[axis + 1] = (slice(n - g, n) if lo
                                      else slice(0, g))
@@ -601,6 +663,8 @@ class SmrState:
             out[lev] = u
             # ---- (c) same-level sweep: y carries x-ghosts, z carries x+y
             for dirpass, ext_axes in ((1, (3,)), (2, (3, 2))):
+                if 2 * dirpass >= self.nfaces:
+                    break     # that face direction doesn't exist
                 groups = self._batch[lev]["same"]
                 for face in (2 * dirpass, 2 * dirpass + 1):
                     if face not in groups:
@@ -611,12 +675,12 @@ class SmrState:
                     gsl = [slice(None)] * 4
                     ssl = [slice(None)] * 4
                     for ax in (1, 2, 3):
-                        n = n_of_axis[ax]
+                        n = n_of[ax]
                         ext = slice(0, 2 * g + n) if ax in ext_axes \
-                            else slice(g, g + n)
+                            else slice(g_of[ax], g_of[ax] + n)
                         gsl[ax] = ext
                         ssl[ax] = ext
-                    n = n_of_axis[axis]
+                    n = n_of[axis]
                     gsl[axis] = strip(axis, lo)
                     ssl[axis] = slice(n, n + g) if lo else slice(g, 2 * g)
                     src = out[lev][s][(slice(None),) + tuple(ssl)]

@@ -36,7 +36,8 @@ _AXIS_OF_DIR = {1: -1, 2: -2, 3: -3}
 class SmrHydro:
     def __init__(self, smesh: SmrMesh, cfg, eos, cooling=None,
                  diffusion=None, problem_source_unsplit=None,
-                 problem_source_first_order=None, custom_bcs=None):
+                 problem_source_first_order=None,
+                 problem_source_strang=None, custom_bcs=None):
         self.smesh = smesh
         self.cfg = cfg
         self.eos = eos
@@ -45,10 +46,17 @@ class SmrHydro:
         # (coordinate-dependent sources get per-leaf centers; see
         # pgen.cluster.problem_source_unsplit_smr)
         self.problem_source_unsplit = problem_source_unsplit
-        # per-level FIRST-ORDER split source: src(state, dt, t) -> state,
-        # applied once per cycle at full dt on the last stage
-        # (AddSplitSourcesFirstOrder, hydro_driver.cpp:548-561)
+        # split sources: src(state, dt, t) -> state.  Stored here (and
+        # rebuilt per remesh by AmrHydro) but APPLIED by the driver loop
+        # OUTSIDE the jitted step — split sources may do host-side work
+        # (rand_blast's schedule branch, turbulence's host RNG), exactly
+        # like the uniform path (driver.py run loop).  First-order runs
+        # once per cycle at full dt after the last stage
+        # (AddSplitSourcesFirstOrder, hydro_driver.cpp:548-561); Strang
+        # runs before stage 1 AND after the last stage
+        # (AddSplitSourcesStrang, hydro_driver.cpp:460-470,548-553).
         self.problem_source_first_order = problem_source_first_order
+        self.problem_source_strang = problem_source_strang
         self.diffusion = (diffusion if diffusion is not None
                           and diffusion.any_enabled else None)
         self.sts = (self.diffusion is not None
@@ -68,10 +76,21 @@ class SmrHydro:
         mask[IDN] = True
         mask[IPR] = True
         self._positivity_mask = tuple(mask)
+        # active flux directions (2-D/1-D decks have no y/z sweeps) and
+        # per-direction ghost counts (inactive dims carry no ghosts)
+        b = smesh.base
+        self._dirs = tuple(d for d, n in ((1, b.nx1), (2, b.nx2),
+                                          (3, b.nx3)) if n > 1)
+        self._act = {1: True, 2: b.nx2 > 1, 3: b.nx3 > 1}
+        self._g_of_dir = {1: b.ng1, 2: b.ng2, 3: b.ng3}
         # interior-cell mask [1,1,NZ,NY,NX] for the first-order rescue
-        g = smesh.base.nghost
-        im = jnp.zeros(smesh.base.block_shape, dtype=bool)
-        self._interior_mask = im.at[g:-g, g:-g, g:-g].set(True)[None, None]
+        im = jnp.zeros(b.block_shape, dtype=bool)
+        isl = tuple(slice(gx, dim - gx) if gx else slice(None)
+                    for gx, dim in zip((b.ng3, b.ng2, b.ng1),
+                                       b.block_shape))
+        self._interior_mask = im.at[isl].set(True)[None, None]
+        # interior slices of [nb, nvar, NZ, NY, NX] per-level arrays
+        self._int_sl = (slice(None), slice(None)) + isl
         # flux-correction batches: one restricted write per (level, face)
         # group of coarse-fine sites (payload = the 4 face-touching fine
         # kids, octant-sorted, from the ghost-fill plans)
@@ -94,6 +113,9 @@ class SmrHydro:
             key: (np.asarray(d, np.int32), np.asarray(k, np.int32), ocs)
             for key, (d, k, ocs) in fc.items()}
         self.step = jax.jit(self._step)
+        # jitted ghost fill for the driver loop's post-split-source
+        # refill (split sources touch interiors outside the jitted step)
+        self.fill_ghosts = jax.jit(self.state_mgr.fill_ghosts)
         # jitted dt estimates: the eager per-op dispatch of the whole
         # per-level reduction chain was a per-cycle host-side cost
         self.estimate_dt = jax.jit(self._estimate_dt_impl)
@@ -111,7 +133,11 @@ class SmrHydro:
         needs raw per-face fluxes everywhere, so it stays on the XLA
         path; FOFC runs as a per-level lax.cond rescue."""
         import os
-        eligible = (self.cfg.riemann != "none" and self.diffusion is None)
+        # 3-D only for now: the ghosted 2-D faces variants of the fused
+        # kernels are not device-validated yet; 1-D/2-D refined meshes
+        # take the XLA path
+        eligible = (self.cfg.riemann != "none" and self.diffusion is None
+                    and self.smesh.base.ndim == 3)
         knob = os.environ.get("ATHENAPK_PALLAS_SWEEP")
         if knob == "1":
             return eligible
@@ -216,6 +242,24 @@ class SmrHydro:
             out[d] = jnp.stack([F[tuple(lo)], F[tuple(hi)]], axis=-1)
         return out
 
+    def _restrict_transverse(self, ff, tdims):
+        """Average factor-2 along each ACTIVE transverse direction of a
+        face slab whose LAST ``len(tdims)`` axes correspond to ``tdims``
+        (array order).  Inactive (degenerate) dims pass through — the
+        2-D coarse-fine correction averages pairs, not 2x2 quads."""
+        out = ff
+        nt = len(tdims)
+        for k, t in enumerate(tdims):
+            if not self._act[t]:
+                continue
+            ax = out.ndim - nt + k
+            ev = [slice(None)] * out.ndim
+            od = [slice(None)] * out.ndim
+            ev[ax] = slice(0, None, 2)
+            od[ax] = slice(1, None, 2)
+            out = 0.5 * (out[tuple(ev)] + out[tuple(od)])
+        return out
+
     def _slab_flux_correct(self, targets, slabs, scale=1.0):
         """Slab-based coarse-fine flux correction: restrict the fine
         boundary-face fluxes (2x2 transverse average), and add the
@@ -228,30 +272,25 @@ class SmrHydro:
         path, the freshly axpy'd ``u_new`` arrays with
         ``scale=beta_dt`` (u_new = ... + beta_dt*negdiv, so the same
         delta enters scaled)."""
-        import numpy as np
         b = self.smesh.base
-        g = b.nghost
-        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
-        nsz = {1: nx, 2: ny, 3: nz}
+        nsz = {1: b.mbnx1, 2: b.mbnx2, 3: b.mbnx3}
+        gd = self._g_of_dir
 
         targets = dict(targets)
         for (lev, face), (d_arr, kidmat, ocs) in self._fc_batch.items():
             axis = 3 - face // 2
             d = {3: 1, 2: 2, 1: 3}[axis]
             lo = face % 2 == 0
-            n = nsz[d]
+            g, n = gd[d], nsz[d]
             # fine kids' boundary face: hi end for a lo coarse face
             fidx = 1 if lo else 0
             cidx = 0 if lo else 1
             tdims = sorted([t for t in (1, 2, 3) if t != d], reverse=True)
             nops = kidmat.shape[0]
-            Ff = slabs[lev + 1][d][kidmat.reshape(-1)]   # [nops*4,nvar,A,B,2]
-            fine_face = Ff[:, :, g:g + nsz[tdims[0]],
-                           g:g + nsz[tdims[1]], fidx]
-            rest = 0.25 * (fine_face[..., 0::2, 0::2]
-                           + fine_face[..., 1::2, 0::2]
-                           + fine_face[..., 0::2, 1::2]
-                           + fine_face[..., 1::2, 1::2])
+            Ff = slabs[lev + 1][d][kidmat.reshape(-1)]   # [nops*K,nvar,A,B,2]
+            fine_face = Ff[:, :, gd[tdims[0]]:gd[tdims[0]] + nsz[tdims[0]],
+                           gd[tdims[1]]:gd[tdims[1]] + nsz[tdims[1]], fidx]
+            rest = self._restrict_transverse(fine_face, tdims)
             rest = rest.reshape((nops, len(ocs)) + rest.shape[1:])
             t_shapes = [nsz[t] for t in tdims]
             Fc = jnp.zeros((nops, rest.shape[2]) + tuple(t_shapes),
@@ -261,16 +300,16 @@ class SmrHydro:
                         for t in tdims]
                 Fc = Fc.at[:, :, offs[0]:offs[0] + rest.shape[3],
                            offs[1]:offs[1] + rest.shape[4]].set(rest[:, col])
-            old = slabs[lev][d][d_arr][:, :, g:g + t_shapes[0],
-                                       g:g + t_shapes[1], cidx]
+            old = slabs[lev][d][d_arr][
+                :, :, gd[tdims[0]]:gd[tdims[0]] + t_shapes[0],
+                gd[tdims[1]]:gd[tdims[1]] + t_shapes[1], cidx]
             delta = (Fc - old) / self.smesh.dx(lev)[d - 1]
             # div_i = (F[i+1] - F[i])/dx: a lo coarse face (index g) is
             # the left face of interior cell g (negdiv += delta); a hi
             # face (index g+n) is the right face of cell g+n-1
             # (negdiv -= delta)
             layer = g if lo else g + n - 1
-            widx = [d_arr, slice(None), slice(g, g + nz),
-                    slice(g, g + ny), slice(g, g + nx)]
+            widx = [d_arr, slice(None)] + list(self._int_sl[2:])
             widx[5 + _AXIS_OF_DIR[d]] = layer
             sign = 1.0 if lo else -1.0
             targets[lev] = targets[lev].at[tuple(widx)].add(
@@ -283,9 +322,9 @@ class SmrHydro:
         out = {}
         if self.cfg.riemann == "none":
             # null solver (source-only runs; hydro_pkg.py:154-157)
-            out = {d: jnp.zeros_like(prim) for d in (1, 2, 3)}
+            out = {d: jnp.zeros_like(prim) for d in self._dirs}
             return self._add_diff(out, prim, lev)
-        for d in (1, 2, 3):
+        for d in self._dirs:
             axis = _AXIS_OF_DIR[d]
             qm, qp = reconstruct(recon, prim, axis, dx[d - 1],
                                  positivity_mask=self._positivity_mask)
@@ -322,13 +361,13 @@ class SmrHydro:
             df = calc_diff_fluxes(self.diffusion, prim,
                                   self._level_mesh[lev])
             flux[lev] = {dirn: df.get(dirn, jnp.zeros_like(prim))
-                         for dirn in (1, 2, 3)}
+                         for dirn in self._dirs}
         flux = self._flux_correct(flux)
         out = {}
         for lev in state:
             dx = self.smesh.dx(lev)
             div = None
-            for dirn in (1, 2, 3):
+            for dirn in self._dirs:
                 F = flux[lev][dirn]
                 dF = (jnp.roll(F, -1, axis=_AXIS_OF_DIR[dirn])
                       - F) / dx[dirn - 1]
@@ -391,45 +430,40 @@ class SmrHydro:
         transverse average of the matching fine face fluxes — batched:
         one gather + restricted write per (level, face) group."""
         b = self.smesh.base
-        g = b.nghost
-        nz, ny, nx = b.mbnx3, b.mbnx2, b.mbnx1
-        nsz = {1: nx, 2: ny, 3: nz}
+        nsz = {1: b.mbnx1, 2: b.mbnx2, 3: b.mbnx3}
+        gd = self._g_of_dir
 
         for (lev, face), (d_arr, kidmat, ocs) in self._fc_batch.items():
             axis = 3 - face // 2            # 3=x, 2=y, 1=z (no var axis)
             d = {3: 1, 2: 2, 1: 3}[axis]
             lo = face % 2 == 0
-            n = nsz[d]
+            g, n = gd[d], nsz[d]
             # coarse face index (co-indexed i = face i-1/2); fine face on
             # the kids' matching boundary
             cface = g if lo else g + n
             fface = g + n if lo else g
-            tdims = [t for t in (1, 2, 3) if t != d]
+            tdims = sorted([t for t in (1, 2, 3) if t != d], reverse=True)
             nops = kidmat.shape[0]
             Ff = fluxes[lev + 1][d][kidmat.reshape(-1)]
             idx = [slice(None)] * 5
             idx[5 + _AXIS_OF_DIR[d]] = fface
             for t in tdims:
-                idx[5 + _AXIS_OF_DIR[t]] = slice(g, g + nsz[t])
-            fine_face = Ff[tuple(idx)]      # [nops*4, nvar, tB, tA]
-            rest = 0.25 * (fine_face[..., 0::2, 0::2]
-                           + fine_face[..., 1::2, 0::2]
-                           + fine_face[..., 0::2, 1::2]
-                           + fine_face[..., 1::2, 1::2])
+                idx[5 + _AXIS_OF_DIR[t]] = slice(gd[t], gd[t] + nsz[t])
+            fine_face = Ff[tuple(idx)]      # [nops*K, nvar, tB, tA]
+            rest = self._restrict_transverse(fine_face, tdims)
             rest = rest.reshape((nops, len(ocs)) + rest.shape[1:])
-            t_shapes = [nsz[t] for t in sorted(tdims, reverse=True)]
+            t_shapes = [nsz[t] for t in tdims]
             Fc = jnp.zeros((nops, rest.shape[2]) + tuple(t_shapes),
                            dtype=rest.dtype)
             for col, oc in enumerate(ocs):
                 # quadrant position from the transverse octant bits
                 offs = [((oc >> {1: 0, 2: 1, 3: 2}[t]) & 1) * (nsz[t] // 2)
-                        for t in sorted(tdims, reverse=True)]
+                        for t in tdims]
                 Fc = Fc.at[:, :, offs[0]:offs[0] + rest.shape[3],
                            offs[1]:offs[1] + rest.shape[4]].set(
                     rest[:, col])
             F = fluxes[lev][d]
-            widx = [d_arr, slice(None), slice(g, g + nz),
-                    slice(g, g + ny), slice(g, g + nx)]
+            widx = [d_arr, slice(None)] + list(self._int_sl[2:])
             widx[5 + _AXIS_OF_DIR[d]] = cface
             fluxes[lev] = dict(fluxes[lev])
             fluxes[lev][d] = F.at[tuple(widx)].set(Fc)
@@ -438,7 +472,7 @@ class SmrHydro:
     def _update_level(self, u0, u1, fluxes_lev, lev, gam0, gam1, beta_dt):
         dx = self.smesh.dx(lev)
         div = None
-        for d in (1, 2, 3):
+        for d in self._dirs:
             F = fluxes_lev[d]
             dF = (jnp.roll(F, -1, axis=_AXIS_OF_DIR[d]) - F) / dx[d - 1]
             div = dF if div is None else div + dF
@@ -462,11 +496,11 @@ class SmrHydro:
         def _rescue(_):
             fl = self._fluxes_level(prim, lev, c_h, recon)
             fl = first_order_flux_correct(
-                cfg, self.eos, (1, 2, 3), _AXIS_OF_DIR,
-                {d: dx[d - 1] for d in (1, 2, 3)}, self._interior_mask,
+                cfg, self.eos, self._dirs, _AXIS_OF_DIR,
+                {d: dx[d - 1] for d in self._dirs}, self._interior_mask,
                 u0f, u1l, prim, fl, gam0, gam1, beta_dt, c_h)
             div = None
-            for dd in (1, 2, 3):
+            for dd in self._dirs:
                 dF = (jnp.roll(fl[dd], -1, axis=_AXIS_OF_DIR[dd])
                       - fl[dd]) / dx[dd - 1]
                 div = dF if div is None else div + dF
@@ -484,7 +518,8 @@ class SmrHydro:
         variant for every mesh)."""
         cfg = self.cfg
         dx = self.smesh.dx(lev)
-        coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt / min(dx))
+        coeff = jnp.exp(-cfg.glmmhd_alpha * c_h * beta_dt
+                        / self.smesh.min_dx(lev))
         if cfg.glmmhd_source == "dedner_extended":
             from ..core.indices import IB1, IB2, IB3, IM1, IM2, IM3, \
                 IEN, IPS
@@ -569,9 +604,9 @@ class SmrHydro:
                     # hydro_driver.cpp:517-531)
                     for lev in u0:
                         flux[lev] = first_order_flux_correct(
-                            cfg, self.eos, (1, 2, 3), _AXIS_OF_DIR,
+                            cfg, self.eos, self._dirs, _AXIS_OF_DIR,
                             {d: self.smesh.dx(lev)[d - 1]
-                             for d in (1, 2, 3)},
+                             for d in self._dirs},
                             self._interior_mask, u0[lev], u1[lev],
                             prims[lev], flux[lev], tab["gam0"][s],
                             tab["gam1"][s], beta_dt, c_h)
@@ -594,12 +629,6 @@ class SmrHydro:
                 # per-level coordinate-dependent sources with cross-level
                 # global reductions (AddUnsplitSources analog)
                 u0 = self.problem_source_unsplit(u0, prims, beta_dt, t)
-            if (self.problem_source_first_order is not None
-                    and s == tab["nstages"] - 1):
-                # first-order split source, once per cycle at full dt on
-                # the final state (AddSplitSourcesFirstOrder,
-                # hydro_driver.cpp:548-561)
-                u0 = self.problem_source_first_order(u0, dt, t)
             u0 = self.state_mgr.fill_ghosts(u0)
         return u0
 
@@ -607,12 +636,10 @@ class SmrHydro:
     def _estimate_dt_impl(self, state):
         cfg = self.cfg
         eos = self.eos
-        b = self.smesh.base
-        g = b.nghost
         min_dt = jnp.inf
         for lev, u in state.items():
             _, w = cons_to_prim(eos, u, cfg.fluid, cfg.nscalars)
-            wi = w[:, :, g:-g, g:-g, g:-g]
+            wi = w[self._int_sl]
             rho = wi[:, IDN]
             p = wi[:, IPR]
             dx = self.smesh.dx(lev)
@@ -625,7 +652,7 @@ class SmrHydro:
             else:
                 c = jnp.sqrt(eos.gamma * p / rho)
                 lam = (c, c, c)
-            for d in (1, 2, 3):
+            for d in self._dirs:
                 min_dt = jnp.minimum(min_dt, jnp.min(
                     dx[d - 1] / (jnp.abs(wi[:, d]) + lam[d - 1])))
         dt_hyp = cfg.cfl * min_dt
@@ -668,11 +695,9 @@ class SmrHydro:
 
     # ------------------------------------------------------------ reductions
     def total_mass(self, state):
-        b = self.smesh.base
-        g = b.nghost
         total = 0.0
         for lev, u in state.items():
             vol = (self.smesh.dx(lev)[0] * self.smesh.dx(lev)[1]
                    * self.smesh.dx(lev)[2])
-            total = total + jnp.sum(u[:, IDN, g:-g, g:-g, g:-g]) * vol
+            total = total + jnp.sum(u[self._int_sl][:, IDN]) * vol
         return total

@@ -98,6 +98,14 @@ class Simulation:
         if src_first is not None:
             src_first = src_first(pin, self.mesh, self.cfg, self.eos)
         self.src_first_order = src_first
+        # Strang split source hook (ProblemSourceStrangSplit,
+        # main.cpp:25 / hydro.cpp:257-260): applied before stage 1 and
+        # after the last stage, receiving full dt both times (the hook
+        # applies dt/2 itself — hydro_driver.cpp:460-470,548-553)
+        src_strang = getattr(self.pgen, "problem_source_strang", None)
+        if src_strang is not None:
+            src_strang = src_strang(pin, self.mesh, self.cfg, self.eos)
+        self.src_strang = src_strang
         # pgen dt constraint (ProblemEstimateTimestep, main.cpp:107).
         # Factory form resolves at build time — returning None keeps the
         # fused-dt fast path for decks that don't use the constraint.
@@ -274,6 +282,7 @@ class Simulation:
             sts = (self.pkg.diffusion.any_enabled
                    and self.pkg.diffusion.integrator == "rkl2")
             fused_dt = not sts and self.src_first_order is None \
+                and self.src_strang is None \
                 and self.tracer_state is None \
                 and self._pe_fn is None
             if sts:
@@ -281,11 +290,19 @@ class Simulation:
                 # hydro cycle (hydro_driver.cpp:456-458, 581-583)
                 self.u = self.pkg.sts_half_step(self.u, 0.5 * dt_eff,
                                                 self.dt_diff)
+            if self.src_strang is not None:
+                # initial Strang split source (hydro_driver.cpp:460-470)
+                self.u = self.pkg.apply_boundaries(
+                    self.src_strang(self.u, dt_eff, self.t))
             if fused_dt:
                 self.u, dts = self.pkg.step_with_dt(self.u, dt_eff, c_h,
                                                     self.t)
             else:
                 self.u = self.pkg.step(self.u, dt_eff, c_h, self.t)
+            if self.src_strang is not None:
+                # final Strang application (hydro_driver.cpp:548-553)
+                self.u = self.pkg.apply_boundaries(
+                    self.src_strang(self.u, dt_eff, self.t))
             if self.src_first_order is not None:
                 # first-order split source, once per cycle at full dt
                 # (AddSplitSourcesFirstOrder, hydro_driver.cpp:548-561)

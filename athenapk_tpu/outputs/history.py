@@ -39,7 +39,17 @@ def hydro_history_columns(fluid: str):
     cols: List[Tuple] = []
 
     def vol_sum(q, mesh):
-        return jnp.sum(_interior(q, mesh)) * mesh.cell_volume
+        # f32-state precision strategy (SURVEY §7 hard part 4 / VERDICT
+        # r3 item 6): per-block partial sums on device in the state
+        # dtype, then an f64 combine over the block axis on the host —
+        # volume sums over up to 16.7M cells keep f64 accumulation even
+        # when x64 is globally off (the TPU fused-kernel path).  Costs
+        # one [nblocks] transfer per column per hst dump.  Measured
+        # (NOTES_r4 precision table): recovers ~2 decimal digits of the
+        # mass/energy columns on f32 256^3 runs at no step-loop cost.
+        parts = np.asarray(jnp.sum(_interior(q, mesh), axis=(1, 2, 3)),
+                           dtype=np.float64)
+        return float(parts.sum()) * mesh.cell_volume
 
     cols.append(("mass", lambda u, w, mesh: vol_sum(u[:, IDN], mesh)))
     cols.append(("1-mom", lambda u, w, mesh: vol_sum(u[:, IM1], mesh)))
@@ -73,8 +83,13 @@ def _rel_divb_partial(u, w, mesh):
         divb = divb + (jnp.roll(b[d - 1], -1, axis=ax)
                        - jnp.roll(b[d - 1], 1, axis=ax)) / (2 * mesh.dx[d - 1])
     vol = mesh.cell_volume
-    num = jnp.sum(jnp.abs(_interior(divb, mesh))) * mesh.min_dx * vol
-    den = jnp.sum(_interior(bmag, mesh)) * vol
+    # f64 host combine of per-block partials (see vol_sum)
+    num_p = np.asarray(jnp.sum(jnp.abs(_interior(divb, mesh)),
+                               axis=(1, 2, 3)), dtype=np.float64)
+    den_p = np.asarray(jnp.sum(_interior(bmag, mesh), axis=(1, 2, 3)),
+                       dtype=np.float64)
+    num = float(num_p.sum()) * mesh.min_dx * vol
+    den = float(den_p.sum()) * vol
     return (num, den)
 
 

@@ -111,6 +111,15 @@ def write_restart_smr(fname, sim):
                       sim.driver._deref_counts.items()}
             fh.create_dataset("DerefCounts",
                               data=json.dumps(counts).encode())
+        # OU forcing state (turbulence on refined meshes)
+        from ..pgen import turbulence as _turb
+        fm = _turb._smr_cache.get(sim.pin)
+        if fm is not None:
+            g = fh.create_group("FewModesFT")
+            var_hat, rng_state = fm.get_state()
+            g.create_dataset("var_hat_r", data=var_hat.real)
+            g.create_dataset("var_hat_i", data=var_hat.imag)
+            g.attrs["rng_state"] = json.dumps(rng_state)
         # trigger order must match SmrSimulation's restore zip:
         # hdf5 outs, then rst outs, then the hst trigger last
         trig = [(o["next"], o["count"])
@@ -143,4 +152,9 @@ def read_restart_smr_payload(fh):
             "levels": {int(k.split("lev")[1]): {f: g[k][f][()]
                                                 for f in g[k]}
                        for k in g if k.startswith("lev")}}
+    if "FewModesFT" in fh:
+        g = fh["FewModesFT"]
+        payload["few_modes_ft"] = (
+            g["var_hat_r"][()] + 1j * g["var_hat_i"][()],
+            json.loads(g.attrs["rng_state"]))
     return payload

@@ -43,9 +43,15 @@ def problem_generator(pin, mesh, cfg, eos):
 
     x, y, z = mesh.cell_centers_mesh()
     rsq = x ** 2 + y ** 2 + z ** 2
-    rho = rho0 + np.where(rsq < rho_radius ** 2,
-                          rho0 * rho_ratio * np.exp(-rsq / 2.0 / sigmasq),
-                          0.0)
+    if sigmasq > 0.0:
+        rho = rho0 + np.where(rsq < rho_radius ** 2,
+                              rho0 * rho_ratio * np.exp(-rsq / 2.0
+                                                        / sigmasq),
+                              0.0)
+    else:
+        # rho_radius = 0: uniform background (avoid a 0/0 inside the
+        # unselected where-branch, which numpy still evaluates)
+        rho = np.full_like(rsq, rho0)
     rho = np.broadcast_to(rho, (mesh.nblocks,) + mesh.block_shape)
 
     u = np.zeros((mesh.nblocks, cfg.nvar) + mesh.block_shape)

@@ -89,6 +89,10 @@ def problem_generator(pin, mesh, cfg, eos):
         elif b_config == 4:    # field loop
             x0 = pin.get_or_add_real(p, "x0", 0.5)
             y0 = pin.get_or_add_real(p, "y0", 0.5)
+            # z0 read-and-recorded for deck parity; the loop potential is
+            # 2-D in (x, y) so it is unused — exactly as the reference
+            # (turbulence.cpp:270 reads it, the A_z loop never uses it)
+            pin.get_or_add_real(p, "z0", 0.5)
             rad = pin.get_or_add_real(p, "loop_rad", 0.25)
             xb = np.broadcast_to(x, shape)
             yb = np.broadcast_to(y, shape)
@@ -150,6 +154,78 @@ def problem_source_first_order(pin, mesh, cfg, eos):
         u = u.at[(slice(None), IM2) + isl[1:]].add(qa * acc[1])
         u = u.at[(slice(None), IM3) + isl[1:]].add(qa * acc[2])
         return u
+
+    return driving
+
+
+_smr_cache = weakref.WeakKeyDictionary()
+
+
+def _fmft_smr(pin, smesh):
+    """Shared-OU few-modes driver on a refined mesh; phases rebind on
+    remesh (the OU spectrum/RNG survive, so driving is continuous)."""
+    from ..utils.few_modes_ft import FewModesFTSmr
+    obj = _smr_cache.get(pin)
+    if obj is None:
+        p = "problem/turbulence"
+        num_modes, k_vec = _parse_modes(pin)
+        obj = FewModesFTSmr(
+            smesh, num_modes, k_vec,
+            k_peak=pin.get_or_add_real(p, "kpeak", 0.0),
+            sol_weight=pin.get_or_add_real(p, "sol_weight", 1.0),
+            t_corr=pin.get_real(p, "corr_time"),
+            rseed=pin.get_or_add_integer(p, "rseed", 31224))
+        _smr_cache[pin] = obj
+    elif obj.smesh is not smesh:
+        obj.rebind(smesh)
+    return obj
+
+
+def problem_source_first_order_smr(pin, smesh, cfg, eos):
+    """OU driving on a refined mesh (VERDICT r3 item 4): per-level
+    accelerations from the SHARED spectrum at per-leaf phases, with the
+    mean-momentum subtraction and rms normalization reduced
+    volume-weighted ACROSS levels (the reference's mesh-wide
+    MPI_Allreduce normalization, ``turbulence.cpp:415-443`` — per-level
+    normalization would be wrong on a mixed-level mesh)."""
+    fmft = _fmft_smr(pin, smesh)
+    accel_rms = pin.get_real("problem/turbulence", "accel_rms")
+    b = smesh.base
+    isl = (slice(None), slice(b.ng3, b.ng3 + b.mbnx3),
+           slice(b.ng2, b.ng2 + b.mbnx2), slice(b.ng1, b.ng1 + b.mbnx1))
+    vols = {lev: float(np.prod(smesh.dx(lev))) for lev in smesh.level_ids}
+    total_vol = ((b.x1max - b.x1min) * (b.x2max - b.x2min)
+                 * (b.x3max - b.x3min))
+
+    def driving(state, dt, t):
+        accs = fmft.generate(float(dt))
+        rhos = {lev: u[:, IDN][isl] for lev, u in state.items()}
+        mass = sum(jnp.sum(rhos[lev]) * vols[lev] for lev in state)
+        mean_acc = [sum(jnp.sum(rhos[lev] * accs[lev][n]) * vols[lev]
+                        for lev in state) / mass for n in range(3)]
+        accs = {lev: jnp.stack([acc[n] - mean_acc[n] for n in range(3)])
+                for lev, acc in accs.items()}
+        ampl_sum = sum(jnp.sum(accs[lev] ** 2) * vols[lev]
+                       for lev in state)
+        norm = accel_rms / jnp.sqrt(ampl_sum / total_vol)
+
+        out = {}
+        for lev, u in state.items():
+            acc = accs[lev] * norm
+            rho = rhos[lev]
+            m1 = u[:, IM1][isl]
+            m2 = u[:, IM2][isl]
+            m3 = u[:, IM3][isl]
+            qa = dt * rho
+            de = (m1 * dt * acc[0] + m2 * dt * acc[1] + m3 * dt * acc[2]
+                  + (acc[0] ** 2 + acc[1] ** 2 + acc[2] ** 2) * qa * qa
+                  / (2.0 * rho))
+            u = u.at[(slice(None), IEN) + isl[1:]].add(de)
+            u = u.at[(slice(None), IM1) + isl[1:]].add(qa * acc[0])
+            u = u.at[(slice(None), IM2) + isl[1:]].add(qa * acc[1])
+            u = u.at[(slice(None), IM3) + isl[1:]].add(qa * acc[2])
+            out[lev] = u
+        return out
 
     return driving
 

@@ -174,7 +174,6 @@ class HydroPackage:
 
     def __init__(self, mesh: Mesh, cfg: HydroConfig, eos: EOS,
                  problem_source_unsplit: Optional[Callable] = None,
-                 problem_source_strang: Optional[Callable] = None,
                  diffusion=None, cooling=None, custom_bcs=None):
         from ..diffusion import DiffusionConfig
         self.mesh = mesh
@@ -184,8 +183,11 @@ class HydroPackage:
         self.cooling = cooling  # TabularCooling or None
         self.custom_bcs = custom_bcs
         self.apply_boundaries = make_boundary_fn(mesh, custom_bcs)
+        # NOTE: Strang split sources (ProblemSourceStrangSplit) are a
+        # DRIVER-loop concern, not a stage concern — the hooks may do
+        # host-side work, so Simulation.run applies them around step()
+        # exactly like first-order split sources (driver.py run loop).
         self.problem_source_unsplit = problem_source_unsplit
-        self.problem_source_strang = problem_source_strang
 
         from ..core.boundaries import check_reflecting_mhd
         check_reflecting_mhd(mesh, cfg.fluid)
@@ -338,7 +340,13 @@ class HydroPackage:
         halo-slab y/z sweeps redo (1+2h/t)^2 ~ 1.5x of the HLLD work at
         h=1, t=8, outweighing the saved cons_to_prim/transpose/axpy
         passes.  Kept as a lever (tested in interpret mode); ghost-free
-        3-D only."""
+        3-D only.
+
+        Like every ``ATHENAPK_PALLAS_*`` lever, this is read at TRACE
+        time and baked into the jitted step: set it before the first
+        ``step()`` call on a given HydroPackage (ideally before
+        construction) — flipping it afterwards has no effect on the
+        cached trace (advisor r3 finding 2)."""
         import os
         if os.environ.get("ATHENAPK_PALLAS_HYBRID") != "1":
             return False

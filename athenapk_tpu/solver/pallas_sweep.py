@@ -738,6 +738,24 @@ def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
     return max(fit) if fit else 1
 
 
+def _fit_lead(extent: int, want: int, ty: int, nlanes: int,
+              nvar: int, itemsize: int = 4) -> int:
+    """Leading-axis tile for the v1 lane sweeps: largest divisor of
+    ``extent`` <= ``want`` whose working set (~8 live (t, ty, nlanes)
+    slabs; the lane-sweep stencil has no transverse halo) fits the
+    scoped-VMEM budget.  With the default want=1 this is a no-op; it
+    guards env-forced large ATHENAPK_PALLAS_TZ against sublane-fallback
+    layouts where ty is the full extent (advisor r3 finding 1)."""
+    def est(t):
+        return 8 * nvar * t * ty * nlanes * itemsize
+
+    best = 1
+    for t in range(1, min(want, extent) + 1):
+        if extent % t == 0 and est(t) <= _VMEM_BUDGET:
+            best = t
+    return best
+
+
 def make_fused_negdiv_faces(block_shape, dx, cfg, eos, positivity_mask,
                             recon: str, g: int, tz: int = 1, ty: int = 32,
                             interpret: bool = False):
@@ -750,9 +768,14 @@ def make_fused_negdiv_faces(block_shape, dx, cfg, eos, positivity_mask,
     face (lane g) and [..., 1] at the hi face (lane g + n_int) — the
     inputs to the coarse-fine flux correction."""
     NZ, NY, NX = block_shape
-    mk = lambda d, dxd, nint, a, b: make_lane_sweep_negdiv_faces(  # noqa: E731
-        cfg, eos, positivity_mask, recon, d, dxd, g, nint,
-        _pick_tile(a, tz), _pick_tile_sublane(b, ty), interpret)
+
+    def mk(d, dxd, nint, a, b):
+        tsub = _pick_tile_sublane(b, ty)
+        nlanes = {1: NX, 2: NY, 3: NZ}[d]
+        tlead = _fit_lead(a, _pick_tile(a, tz), tsub, nlanes, cfg.nvar)
+        return make_lane_sweep_negdiv_faces(
+            cfg, eos, positivity_mask, recon, d, dxd, g, nint,
+            tlead, tsub, interpret)
     sweeps = [
         # x: lanes already minormost; faces canonical (z, y)
         (1, None, None, mk(1, dx[0], NX - 2 * g, NZ, NY)),
@@ -790,29 +813,23 @@ def make_fused_negdiv(mesh, cfg, eos, positivity_mask, recon: str,
     boundary fill overwrites it).  Tile sizes snap down to divisors of
     the per-block extents."""
     NZ, NY, NX = mesh.block_shape
+
+    def mk(d, dxd, lead_ext, sub_ext, lane_ext):
+        tsub = _pick_tile_sublane(sub_ext, ty)
+        tlead = _fit_lead(lead_ext, _pick_tile(lead_ext, tz), tsub,
+                          lane_ext, cfg.nvar)
+        return make_lane_sweep_negdiv(cfg, eos, positivity_mask, recon,
+                                      d, dxd, tlead, tsub, interpret)
+
     sweeps = []
     # x: lanes already minormost; grid tiles (z, y)
-    sweeps.append((1, None,
-                   make_lane_sweep_negdiv(cfg, eos, positivity_mask, recon,
-                                          1, mesh.dx1, _pick_tile(NZ, tz),
-                                          _pick_tile_sublane(NY, ty),
-                                          interpret)))
+    sweeps.append((1, None, mk(1, mesh.dx1, NZ, NY, NX)))
     if mesh.nx2 > 1:
         # y: swap (y, x) -> minor axis y; grid tiles (z, x)
-        sweeps.append((2, (0, 1, 2, 4, 3),
-                       make_lane_sweep_negdiv(cfg, eos, positivity_mask,
-                                              recon, 2, mesh.dx2,
-                                              _pick_tile(NZ, tz),
-                                              _pick_tile_sublane(NX, ty),
-                                              interpret)))
+        sweeps.append((2, (0, 1, 2, 4, 3), mk(2, mesh.dx2, NZ, NX, NY)))
     if mesh.nx3 > 1:
         # z: swap (z, x) -> minor axis z; grid tiles (x, y)
-        sweeps.append((3, (0, 1, 4, 3, 2),
-                       make_lane_sweep_negdiv(cfg, eos, positivity_mask,
-                                              recon, 3, mesh.dx3,
-                                              _pick_tile(NX, tz),
-                                              _pick_tile_sublane(NY, ty),
-                                              interpret)))
+        sweeps.append((3, (0, 1, 4, 3, 2), mk(3, mesh.dx3, NX, NY, NZ)))
 
     def negdiv(prim, c_h):
         out = None

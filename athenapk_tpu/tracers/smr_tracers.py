@@ -62,8 +62,8 @@ class SmrTracers:
             self._orig[lev] = (jnp.asarray(org[:, 0]),
                                jnp.asarray(org[:, 1]),
                                jnp.asarray(org[:, 2]))
-            n1, n2, n3 = (base.nb1 << lev, base.nb2 << lev,
-                          base.nb3 << lev)
+            s1, s2, s3 = smesh._scales(lev)
+            n1, n2, n3 = base.nb1 * s1, base.nb2 * s2, base.nb3 * s3
             tab = np.full((n3, n2, n1), -1, np.int32)
             for i, g in enumerate(ids):
                 tab[smesh.lx3[g], smesh.lx2[g], smesh.lx1[g]] = i
@@ -182,15 +182,16 @@ class SmrTracers:
         base = self.smesh.base
         dest = jnp.full(x.shape, -1, jnp.int32)
         for lev in reversed(self.levels):
-            w1 = base.mbnx1 * base.dx1 / (1 << lev)
-            w2 = base.mbnx2 * base.dx2 / (1 << lev)
-            w3 = base.mbnx3 * base.dx3 / (1 << lev)
+            s1, s2, s3 = self.smesh._scales(lev)
+            w1 = base.mbnx1 * base.dx1 / s1
+            w2 = base.mbnx2 * base.dx2 / s2
+            w3 = base.mbnx3 * base.dx3 / s3
             c1 = jnp.clip(jnp.floor((x - base.x1min) / w1).astype(jnp.int32),
-                          0, (base.nb1 << lev) - 1)
+                          0, base.nb1 * s1 - 1)
             c2 = jnp.clip(jnp.floor((y - base.x2min) / w2).astype(jnp.int32),
-                          0, (base.nb2 << lev) - 1)
+                          0, base.nb2 * s2 - 1)
             c3 = jnp.clip(jnp.floor((z - base.x3min) / w3).astype(jnp.int32),
-                          0, (base.nb3 << lev) - 1)
+                          0, base.nb3 * s3 - 1)
             idx = self._tab[lev][c3, c2, c1]
             hit = (idx >= 0) & (dest < 0)
             dest = jnp.where(hit, self._leaf_off[lev] + idx, dest)

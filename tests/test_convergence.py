@@ -113,3 +113,18 @@ def test_mhd_hlle_weno3_rk3(tmp_path):
     e32 = _run("linear_wave_mhd", "glmmhd", "hlle", "weno3", "rk3", 32,
                tmp_path=tmp_path)
     assert e32 < 4.0e-7
+
+
+def test_reference_hard_gate_fast():
+    """The reference CI hard gate IN THE FAST SUITE (VERDICT r3 item 7):
+    RMS-L1(VL2+PLM+HLLE, 64-class 3D hydro linear wave) must not exceed
+    1.547584e-08 (reference ``convergence.py:162-164``).  The reference
+    parses the value back from linearwave-errors.dat at 7 significant
+    digits, so the comparison happens at print precision.  A regression
+    at the gate resolution now breaks the default ``pytest tests/``
+    run (f64 CPU, ~1 min)."""
+    from test_regression_grids import GATE, _run_wave
+
+    rms = _run_wave("linear_wave", "euler", "vl2", "plm", "hlle", 64)
+    assert float(f"{rms:.6e}") <= GATE, \
+        f"RMS-L1 {rms:.6e} > gate {GATE:.6e}"
