@@ -147,6 +147,33 @@ def test_tracer_outflow_deactivates():
     assert (x >= 0.0).all() and (x < 1.0).all()
 
 
+def test_tracer_fast_path_matches_slow_path():
+    """Tracers on the fused fast path (one jitted dispatch per cycle:
+    step + dt estimate + tracer advect/fill) must reproduce the slow
+    path (separate cons_to_prim + advect + fill dispatches).  The slow
+    path is forced with a no-op Strang source (fused_dt requires
+    src_strang is None); on a periodic domain the extra boundary fill
+    is a no-op, so the two runs are physically identical."""
+    pin = ParameterInput.from_string(DECK)
+    fast = Simulation(pin, quiet=True)
+    assert fast._step_tracers is not None
+    fast.run()
+
+    pin2 = ParameterInput.from_string(DECK)
+    slow = Simulation(pin2, quiet=True)
+    slow.src_strang = lambda u, dt, t: u
+    slow.run()
+
+    assert fast.ncycle == slow.ncycle
+    assert abs(fast.t - slow.t) < 1e-12
+    ts_f = _active_sorted_by_id(fast.tracer_state)
+    ts_s = _active_sorted_by_id(slow.tracer_state)
+    np.testing.assert_array_equal(ts_f["id"], ts_s["id"])
+    for comp in ("x", "y", "z", "rho", "vel_x"):
+        np.testing.assert_allclose(ts_f[comp], ts_s[comp], rtol=1e-6,
+                                   atol=1e-12, err_msg=comp)
+
+
 def test_tracer_advect_sharded_bitwise():
     """advect+fill on a block-sharded 8-device mesh must be bitwise
     identical to the replicated run (per-block interpolation is local;
