@@ -716,6 +716,16 @@ def _compiler_params():
         dimension_semantics=("parallel", "parallel", "parallel"))
 
 
+def _pad_lane(n: int) -> int:
+    """Mosaic pads the minormost (lane) dim to the 128 quantum."""
+    return -(-n // 128) * 128
+
+
+def _pad_sub(n: int) -> int:
+    """... and the second-to-minor (sublane) dim to the 8 quantum."""
+    return -(-n // 8) * 8
+
+
 def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
             itemsize: int = 4) -> int:
     """Pick the z tile (a LEADING block dim — unconstrained by Mosaic)
@@ -723,9 +733,17 @@ def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
     VMEM; needed when the sublane tile fell back to the full extent.
     Prefers tiles >= h so the XLA halo-slab gather stays a bounded
     fraction (<= 2x) of the tile traffic; tiles < h remain correct
-    (chunked ``_halo_slabs``) but are a last resort."""
+    (chunked ``_halo_slabs``) but are a last resort.
+
+    The estimate uses the PADDED tile footprint (lane dim to the
+    128 quantum, sublane to 8): at AMR-class ghosted extents (e.g.
+    38 = 32 + 2*3) the physical VMEM slab is ~3.4x the logical one,
+    and the unpadded estimate let the stage+faces kernel pick tiles
+    that scoped-VMEM-OOM'd at Mosaic lowering (seen on device at
+    mb=32 g=3)."""
     def est(t):
-        return 8 * nvar * (t + 2 * h) * (ty + 2 * h) * NX * itemsize
+        return (8 * nvar * (t + 2 * h) * _pad_sub(ty + 2 * h)
+                * _pad_lane(NX) * itemsize)
 
     divs = [t for t in range(1, NZ + 1) if NZ % t == 0]
     fit = [t for t in divs if est(t) <= _VMEM_BUDGET]
@@ -745,9 +763,11 @@ def _fit_lead(extent: int, want: int, ty: int, nlanes: int,
     slabs; the lane-sweep stencil has no transverse halo) fits the
     scoped-VMEM budget.  With the default want=1 this is a no-op; it
     guards env-forced large ATHENAPK_PALLAS_TZ against sublane-fallback
-    layouts where ty is the full extent (advisor r3 finding 1)."""
+    layouts where ty is the full extent (advisor r3 finding 1).
+    Padded footprint, like ``_fit_tz``."""
     def est(t):
-        return 8 * nvar * t * ty * nlanes * itemsize
+        return (8 * nvar * t * _pad_sub(ty) * _pad_lane(nlanes)
+                * itemsize)
 
     best = 1
     for t in range(1, min(want, extent) + 1):

@@ -119,6 +119,31 @@ def _v1():
     return _rel(got, ref)
 
 
+@check("v1 negdiv lane-packed (multi-block, r4)")
+def _v1_packed():
+    # AMR-class geometry where packing triggers: 32^3 mesh of 8^3
+    # blocks, g=3 ppm -> lane extent 14, pack k=64 -> 896 lanes (7x128)
+    gh = Mesh(nx1=32, nx2=32, nx3=32, mbnx1=8, mbnx2=8, mbnx3=8,
+              x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+              nghost=3)
+    g = gh.nghost
+    cfg = HydroConfig(fluid="glmmhd", riemann="hlld",
+                      reconstruction="ppm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(gh, cfg, eos)
+    assert ps._pick_pack(gh.nblocks, 8 + 2 * g, cfg.nvar) > 1
+    u = jax.jit(pkg.apply_boundaries)(mk_state(gh, cfg, eos))
+    _, prim = jax.jit(pkg._cons_to_prim)(u)
+    c_h = jnp.float32(1.3)
+    ref = _negdiv_ref(pkg, prim, c_h)
+    fn = ps.make_fused_negdiv(gh, cfg, eos, pkg._positivity_mask,
+                              "ppm", tz=1, ty=8, interpret=INTERPRET)
+    got = np.asarray(jax.jit(fn)(prim, c_h))
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+    return _rel(got, ref, sl)
+
+
 @check("v2 negdiv ghost-free")
 def _v2_gf():
     gf, _, _ = meshes()
@@ -354,12 +379,14 @@ def _stage_step():
     u0 = jax.jit(pkg_ref.apply_boundaries)(u0)
     ref = np.asarray(jax.jit(pkg_ref._step)(u0, dt, c_h))
     os.environ["ATHENAPK_PALLAS_SWEEP"] = "1"
+    os.environ["ATHENAPK_PALLAS_STAGE"] = "1"   # opt-in since r3
     try:
         pkg_f = HydroPackage(gh, cfg, eos)
         assert pkg_f._use_fused_stage(jnp.float32)
         got = np.asarray(jax.jit(pkg_f._step)(u0, dt, c_h))
     finally:
         os.environ.pop("ATHENAPK_PALLAS_SWEEP", None)
+        os.environ.pop("ATHENAPK_PALLAS_STAGE", None)
     return _rel(got, ref)
 
 
@@ -375,12 +402,14 @@ def _stage_dt():
     u_ref, dts_ref = HydroPackage(gf, cfg, eos).step_with_dt(
         u, dt, c_h, 0.0)
     os.environ["ATHENAPK_PALLAS_SWEEP"] = "1"
+    os.environ["ATHENAPK_PALLAS_STAGE"] = "1"   # opt-in since r3
     try:
         pkg_f = HydroPackage(gf, cfg, eos)
         assert pkg_f._use_fused_stage_dt(jnp.float32)
         u_f, dts_f = pkg_f.step_with_dt(u, dt, c_h, 0.0)
     finally:
         os.environ.pop("ATHENAPK_PALLAS_SWEEP", None)
+        os.environ.pop("ATHENAPK_PALLAS_STAGE", None)
     rel = float(jnp.abs(u_f - u_ref).max() / jnp.abs(u_ref).max())
     ddt = abs(float(dts_f[0]) - float(dts_ref[0]))
     return max(rel, ddt)
