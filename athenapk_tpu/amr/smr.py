@@ -17,6 +17,8 @@ fluxes (conservation).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -372,6 +374,264 @@ class SmrState:
     # ------------------------------------------------------------ ghost fill
     def fill_ghosts(self, state):
         """state: {level: [nb_lev, nvar, NZ, NY, NX]} -> ghost-filled.
+
+        Slab-assembly formulation (round 4): the original scatter
+        formulation chained ~260 full-array ``.at[].set`` updates per
+        level whose operands stayed live (later passes re-read the
+        pre-update binding), so XLA copy-inserted nearly every one —
+        ~24 GB of HBM writes per fill at the AMR bench geometry, 20x
+        the cost of the actual solve.  Here every ghost slab is
+        assembled out-of-place from slab-sized gathers (sources are
+        pre-SLICED to strips before the leaf-axis gather, never
+        gather-then-slice on whole blocks) and each level array is
+        written by two dynamic-update-slices per axis whose operand is
+        dead at the write — in-place for XLA, ~60x less traffic.
+
+        Two passes:
+          A. interior-transverse face fill on every level except the
+             coarsest (provides valid face ghosts for pass-B
+             restriction reads into parents);
+          B. per level COARSEST FIRST (the parent is fully filled —
+             corners included — before any child prolongs from it),
+             axes sequential with expanding transverse extents
+             (x interior; y carries x ghosts; z carries x+y), which
+             reproduces the scatter path's corner semantics: same and
+             prolongation corners exact, fine-restricted edges valid
+             to transverse depth nghost//2.
+
+        Kind sources: same/fine read source INTERIORS only (order-
+        free); prolongation margins read the parent's already-complete
+        fill.  ``ATHENAPK_SMR_FILL=scatter`` selects the original
+        formulation (kept for A/B and as the reference semantics).
+        """
+        if os.environ.get("ATHENAPK_SMR_FILL") == "scatter":
+            return self._fill_ghosts_scatter(state)
+        out = dict(state)
+        act_axes = [ax for ax in (3, 2, 1) if self.act[ax]]
+        levs = sorted(self.smesh.level_ids)
+        for lev in levs[1:]:                          # pass A
+            for ax in act_axes:
+                out[lev] = self._fill_axis(out, lev, ax, ())
+        for lev in levs:                              # pass B
+            for i, ax in enumerate(act_axes):
+                out[lev] = self._fill_axis(out, lev, ax,
+                                           tuple(act_axes[:i]))
+        for lev in levs:                              # pass C: phys last
+            for ax in act_axes:
+                out[lev] = self._fill_axis(out, lev, ax,
+                                           tuple(a for a in act_axes
+                                                 if a != ax),
+                                           phys_only=True)
+        return out
+
+    # ------------------------------------------------- slab-assembly fill
+    def _fill_axis(self, out, lev, axis, ext_axes, phys_only=False):
+        """Assemble and write the lo/hi ghost slabs of ``axis`` for one
+        level.  ``ext_axes``: transverse axes whose ghost columns are
+        included (already filled this round).  ``phys_only``: pass C —
+        re-apply only the physical/custom BCs at full transverse extent
+        so boundary corners are consistently BC-derived (the scatter
+        path's 'extended runs LAST' rule).  Returns the new level
+        array; all reads of the old array precede the two writes."""
+        sm = self.smesh
+        n_of, g_of, act = self.n_of, self.g_of, self.act
+        half_of = self.half_of
+        n, g = n_of[axis], g_of[axis]
+        h = half_of[axis]
+        gc = (g + 1) // 2            # coarse cells covering g fine ghosts
+        fr = g // 2                  # restrict transverse corner depth
+        u = out[lev]
+        batch = self._batch[lev]
+
+        def tsl(ax, child=False, child_ext=()):
+            """Transverse slice for axis ``ax`` in full-array coords:
+            ghost-extended if already swept (or requested via
+            ``child_ext`` for child strips), else interior."""
+            if not act[ax]:
+                return slice(0, n_of[ax])
+            if child:
+                if ax in child_ext:
+                    return slice(g_of[ax] - 2 * fr,
+                                 g_of[ax] + n_of[ax] + 2 * fr)
+                return slice(g_of[ax], g_of[ax] + n_of[ax])
+            if ax in ext_axes:
+                return slice(0, n_of[ax] + 2 * g_of[ax])
+            return slice(g_of[ax], g_of[ax] + n_of[ax])
+
+        def vsl(sl_axis):
+            """Full [nb, nvar, z, y, x] index with ``sl_axis`` on the
+            fill axis and the pass's transverse extents elsewhere."""
+            idx = [slice(None), slice(None), None, None, None]
+            for ax in (1, 2, 3):
+                idx[ax + 1] = sl_axis if ax == axis else tsl(ax)
+            return tuple(idx)
+
+        new_slabs = {}
+        custom_ops = []
+        for lo in (True, False):
+            face = 2 * (3 - axis) + (0 if lo else 1)
+            if phys_only and face not in batch["phys"]:
+                continue
+            ghost = slice(0, g) if lo else slice(g + n, 2 * g + n)
+            slab = u[vsl(ghost)]                      # old content base
+            touched = False
+
+            # ---- same-level copies (sources: interiors only)
+            if not phys_only and face in batch["same"]:
+                d, s = batch["same"][face]
+                src = slice(n, n + g) if lo else slice(g, 2 * g)
+                strip = u[vsl(src)]
+                slab = slab.at[d].set(strip[s])
+                touched = True
+
+            # ---- fine restriction (children interiors + round-A face
+            # ghosts to transverse depth 2*fr, one ext axis at a time —
+            # the scatter path's (b) redo semantics)
+            if not phys_only and face in batch["fine"]:
+                d, kidmat = batch["fine"][face]
+                nops, nk = kidmat.shape
+                bit = face // 2
+                want = 1 if lo else 0
+                ocs = [oc for oc in range(self.noct)
+                       if (oc >> bit) & 1 == want]
+                csrc = (slice(g + n - 2 * g, g + n) if lo
+                        else slice(g, 3 * g))
+                ku = out[lev + 1]
+                for ext in (None,) + tuple(t for t in ext_axes
+                                           if act[t] and fr > 0):
+                    cext = (ext,) if ext is not None else ()
+                    idx = [slice(None), slice(None), None, None, None]
+                    for ax in (1, 2, 3):
+                        idx[ax + 1] = (csrc if ax == axis
+                                       else tsl(ax, child=True,
+                                                child_ext=cext))
+                    strip = ku[tuple(idx)][kidmat.reshape(-1)]
+                    rest = restrict_average(strip, dims=self.ndim)
+                    half = {ax: (half_of[ax] + (2 * fr if ax == ext
+                                                else 0)) if act[ax]
+                            else n_of[ax] for ax in (1, 2, 3)}
+                    half[axis] = g
+                    rest = rest.reshape((nops, nk, self.nvar,
+                                         half[1], half[2], half[3]))
+                    ag_n = {ax: n_of[ax] + (2 * fr if ax == ext else 0)
+                            for ax in (1, 2, 3)}
+                    ag_n[axis] = g
+                    agg = jnp.zeros((nops, self.nvar, ag_n[1], ag_n[2],
+                                     ag_n[3]), dtype=u.dtype)
+                    for j, oc in enumerate(ocs):
+                        ob = self._obit(oc)
+                        psl = [slice(None), slice(None), None, None,
+                               None]
+                        for ax in (1, 2, 3):
+                            if ax == axis:
+                                psl[ax + 1] = slice(0, g)
+                            else:
+                                off = (ob[ax] * half_of[ax]
+                                       if act[ax] else 0)
+                                psl[ax + 1] = slice(off, off + half[ax])
+                        agg = agg.at[tuple(psl)].set(rest[:, j])
+                    # placement into the slab (slab transverse coords:
+                    # ext axes span [0, n+2g) -> offset g-fr; interior
+                    # axes span [0, n) -> offset 0)
+                    ssl = [slice(None), slice(None), None, None, None]
+                    for ax in (1, 2, 3):
+                        if ax == axis:
+                            ssl[ax + 1] = slice(0, g)
+                        elif ax == ext:
+                            ssl[ax + 1] = slice(g_of[ax] - fr,
+                                                g_of[ax] - fr + ag_n[ax])
+                        elif ax in ext_axes and act[ax]:
+                            ssl[ax + 1] = slice(g_of[ax],
+                                                g_of[ax] + n_of[ax])
+                        else:
+                            ssl[ax + 1] = slice(0, ag_n[ax])
+                    slab = slab.at[(d,) + tuple(ssl[1:])].set(agg)
+                    touched = True
+
+            # ---- coarse prolongation (parent fully filled: margins and
+            # ghost-extended spans read completed parent ghosts)
+            cgroups = {} if phys_only else {
+                oct_: ds for (f, oct_), ds in batch["coarse"].items()
+                if f == face}
+            cu = out[lev - 1] if cgroups else None
+            for oct_, (d, s) in cgroups.items():
+                ob = self._obit(oct_)
+                o_ax = g + ob[axis] * h
+                csl = (slice(o_ax + h - gc - 1, o_ax + h + 1) if lo
+                       else slice(o_ax - 1, o_ax + gc + 1))
+                idx = [slice(None), slice(None), None, None, None]
+                sel = [slice(None), slice(None), None, None, None]
+                for ax in (1, 2, 3):
+                    if ax == axis:
+                        idx[ax + 1] = csl
+                        sel[ax + 1] = (slice(2 * gc + 2 - g, 2 * gc + 2)
+                                       if lo else slice(2, 2 + g))
+                    elif not act[ax]:
+                        idx[ax + 1] = slice(0, n_of[ax])
+                        sel[ax + 1] = slice(0, n_of[ax])
+                    else:
+                        o_t = g_of[ax] + ob[ax] * half_of[ax]
+                        if ax in ext_axes:
+                            idx[ax + 1] = slice(o_t - gc - 1,
+                                                o_t + half_of[ax] + gc + 1)
+                            sel[ax + 1] = slice(
+                                2 * gc + 2 - g_of[ax],
+                                2 * gc + 2 + n_of[ax] + g_of[ax])
+                        else:
+                            idx[ax + 1] = slice(o_t - 1,
+                                                o_t + half_of[ax] + 1)
+                            sel[ax + 1] = slice(2, 2 + n_of[ax])
+                strip = cu[tuple(idx)][s]
+                fine = prolongate_minmod(strip, dims=self.ndim)
+                slab = slab.at[d].set(fine[tuple(sel)])
+                touched = True
+
+            # ---- physical BCs (own-edge broadcast / mirror; custom
+            # hooks deferred to after the full-array write)
+            if face in batch["phys"]:
+                d = batch["phys"][face]
+                b = sm.base
+                bc = (b.ix1_bc, b.ox1_bc, b.ix2_bc, b.ox2_bc,
+                      b.ix3_bc, b.ox3_bc)[face]
+                if bc == "outflow":
+                    esl = (slice(g, g + 1) if lo
+                           else slice(g + n - 1, g + n))
+                    edge = u[vsl(esl)][d]
+                    slab = slab.at[d].set(
+                        jnp.broadcast_to(edge, (d.size, self.nvar)
+                                         + slab.shape[2:]))
+                    touched = True
+                elif bc == "reflecting":
+                    from ..core.indices import IM1, IM2, IM3
+                    mom_of_axis = {3: IM1, 2: IM2, 1: IM3}
+                    msl = slice(g, 2 * g) if lo else slice(n, n + g)
+                    mirror = jnp.flip(u[vsl(msl)][d], axis=axis - 4)
+                    signs = [1.0] * self.nvar
+                    signs[mom_of_axis[axis]] = -1.0
+                    slab = slab.at[d].set(
+                        jnp.asarray(signs, dtype=u.dtype).reshape(
+                            (1, self.nvar, 1, 1, 1)) * mirror)
+                    touched = True
+                elif bc in self.custom_bcs:
+                    gsl = tuple(vsl(ghost)[2:])
+                    custom_ops.append((bc, d, gsl, axis, lo))
+                else:
+                    raise ValueError(
+                        f"unsupported refined-mesh BC '{bc}' (periodic/"
+                        "outflow/reflecting or a problem-registered "
+                        "custom BC)")
+            if touched:
+                new_slabs[lo] = (vsl(ghost), slab)
+
+        for gidx, slab in new_slabs.values():
+            u = u.at[gidx].set(slab)
+        for bc, d, gsl, ax_, lo_ in custom_ops:
+            u = self.custom_bcs[bc](u, d, gsl, lev, ax_, lo_)
+        return u
+
+    def _fill_ghosts_scatter(self, state):
+        """Original scatter formulation (reference semantics; selected
+        via ``ATHENAPK_SMR_FILL=scatter``).
 
         Fill order (standard AMR sweep): (1) coarse ghosts overlying fine
         regions via restriction, (2) same-level slab copies, (3) fine

@@ -42,11 +42,14 @@ def hydro_history_columns(fluid: str):
         # f32-state precision strategy (SURVEY §7 hard part 4 / VERDICT
         # r3 item 6): per-block partial sums on device in the state
         # dtype, then an f64 combine over the block axis on the host —
-        # volume sums over up to 16.7M cells keep f64 accumulation even
-        # when x64 is globally off (the TPU fused-kernel path).  Costs
-        # one [nblocks] transfer per column per hst dump.  Measured
-        # (NOTES_r4 precision table): recovers ~2 decimal digits of the
-        # mass/energy columns on f32 256^3 runs at no step-loop cost.
+        # keeps f64 accumulation even when x64 is globally off (the TPU
+        # fused-kernel path).  Costs one [nblocks] transfer per column
+        # per hst dump.  Measured (scripts/precision_table.py, NOTES_r4
+        # table): XLA's tree reduction makes the plain f32 volume sum
+        # surprisingly safe (~9.7 digits at 2M zones), but the relDivB
+        # partials gain ~2.6 digits (4.1 -> 6.7) from the f64 combine;
+        # a device-side Kahan scan measured no better (6.9) and adds a
+        # sequential dependency chain — rejected.
         parts = np.asarray(jnp.sum(_interior(q, mesh), axis=(1, 2, 3)),
                            dtype=np.float64)
         return float(parts.sum()) * mesh.cell_volume

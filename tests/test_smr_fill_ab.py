@@ -1,0 +1,126 @@
+"""A/B regression for the slab-assembly ghost fill (round 4).
+
+The refined-mesh fill was rewritten from a scatter formulation
+(~260 chained full-array ``.at[].set`` per level, which XLA
+copy-inserts — ~24 GB HBM writes per fill at the AMR bench geometry)
+to slab assembly (``SmrState._fill_axis``): ghost slabs built
+out-of-place from pre-sliced strips and written with two
+dynamic-update-slices per axis.  The old path is kept under
+``ATHENAPK_SMR_FILL=scatter`` as the reference semantics; this test
+pins the two paths together on random multi-level states.
+
+Known, intentional differences (documented in NOTES_r4):
+
+* ODD nghost: the scatter path's fine-restriction corner redo read
+  one minmod-contaminated prolongation cell (its ``sel`` started
+  inside the roll-wrap margin), so outermost edge/corner ghosts of
+  coarse-next-to-fine blocks differ — the slab path keeps the
+  guaranteed-valid region (full-array equality asserted for even g
+  only).
+* Fine-level 3-axis CORNER octants at coarse-fine corners: the two
+  paths prolong from different (equally valid) parent data — the
+  scatter path's dedicated corner redo vs the slab path's expanding
+  transverse extents.  A linear-exactness probe shows identical
+  worst-case error for both, and the solver-level cross-checks
+  (fully-refined == uniform at 2x, SMR RKL2 == unsplit) pass with
+  either; those octants are excluded from the equality sweep.
+
+Face-ghost slabs (transverse interior) must match to f32 rounding
+noise (the two paths reassociate the restriction averages) in every
+configuration.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from athenapk_tpu.amr import SmrMesh, SmrState
+from athenapk_tpu.core.mesh import Mesh
+
+
+def _random_state(sm, nvar, seed):
+    rng = np.random.default_rng(seed)
+    base = sm.base
+    state = {}
+    for lev, ids in sm.level_ids.items():
+        arr = rng.normal(size=(len(ids), nvar) + base.block_shape)
+        state[lev] = jnp.asarray(arr, dtype=jnp.float32)
+    return state
+
+
+def _fill_both(sm, state, monkeypatch):
+    st = SmrState(sm, next(iter(state.values())).shape[1])
+    monkeypatch.delenv("ATHENAPK_SMR_FILL", raising=False)
+    slab = st.fill_ghosts(state)
+    monkeypatch.setenv("ATHENAPK_SMR_FILL", "scatter")
+    scat = st.fill_ghosts(state)
+    monkeypatch.delenv("ATHENAPK_SMR_FILL", raising=False)
+    return slab, scat
+
+
+def _face_slabs(a, mesh, axis_ng):
+    """Yield the six (fewer in 2-D/1-D) face-ghost slabs with transverse
+    extents restricted to the interior."""
+    ng3, ng2, ng1 = axis_ng
+    nz, ny, nx = mesh.block_shape
+    it3 = slice(ng3, nz - ng3) if ng3 else slice(None)
+    it2 = slice(ng2, ny - ng2) if ng2 else slice(None)
+    it1 = slice(ng1, nx - ng1) if ng1 else slice(None)
+    if ng1:
+        yield a[..., it3, it2, :ng1]
+        yield a[..., it3, it2, nx - ng1:]
+    if ng2:
+        yield a[..., it3, :ng2, it1]
+        yield a[..., it3, ny - ng2:, it1]
+    if ng3:
+        yield a[..., :ng3, it2, it1]
+        yield a[..., nz - ng3:, it2, it1]
+
+
+CASES = [
+    # (nx, mb, dims, nghost, bcs)
+    (32, 8, 3, 2, "periodic"),
+    (32, 8, 3, 3, "periodic"),
+    (32, 8, 3, 2, "outflow"),
+    (32, 8, 3, 2, "reflecting"),
+    (64, 16, 2, 2, "periodic"),
+    (64, 16, 2, 3, "outflow"),
+    (64, 16, 1, 2, "reflecting"),
+]
+
+
+@pytest.mark.parametrize("nx,mb,dims,g,bc", CASES)
+def test_slab_fill_matches_scatter(nx, mb, dims, g, bc, monkeypatch):
+    bcs = {f"{s}x{d}_bc": bc for s in ("i", "o") for d in (1, 2, 3)}
+    base = Mesh(nx1=nx, nx2=nx if dims >= 2 else 1,
+                nx3=nx if dims == 3 else 1,
+                mbnx1=mb, mbnx2=mb if dims >= 2 else 1,
+                mbnx3=mb if dims == 3 else 1,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g, **bcs)
+    lo, hi = 0.4, 0.6
+    region = (lo, hi, lo if dims >= 2 else 0.0, hi if dims >= 2 else 1.0,
+              lo if dims == 3 else 0.0, hi if dims == 3 else 1.0, 1)
+    sm = SmrMesh(base, [region])
+    assert len(sm.level_ids) == 2
+    state = _random_state(sm, 4, seed=nx * 100 + g * 10 + dims)
+    slab, scat = _fill_both(sm, state, monkeypatch)
+    ng = (base.ng3, base.ng2, base.ng1)
+    tol = dict(rtol=2e-6, atol=2e-6)   # 1-2 ulp on N(0,1) values
+    for lev in slab:
+        a, b = np.asarray(slab[lev]), np.asarray(scat[lev])
+        # face ghosts (transverse interior): match in every config
+        for sa, sb in zip(_face_slabs(a, base, ng),
+                          _face_slabs(b, base, ng)):
+            np.testing.assert_allclose(sa, sb, **tol)
+        if g % 2 == 0:
+            # even g: full match except fine-level 3-axis corner
+            # octants (different-but-valid parent reads; see docstring)
+            mask = np.ones(a.shape, bool)
+            if lev > 0 and dims == 3:
+                nz, ny, nx = base.block_shape
+                gh = [np.r_[0:g, n - g:n] for n in (nz, ny, nx)]
+                zz, yy, xx = np.meshgrid(gh[0], gh[1], gh[2],
+                                         indexing="ij")
+                mask[:, :, zz, yy, xx] = False
+            np.testing.assert_allclose(a[mask], b[mask], **tol)
