@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.amr_forest import AmrForest
@@ -49,6 +50,73 @@ def smr_regions_from_deck(pin):
 def _periodicity(base: Mesh):
     return (base.ix1_bc == "periodic", base.ix2_bc == "periodic",
             base.ix3_bc == "periodic")
+
+
+_ROWMM_MAX = 1 << 22   # one-hot matrix size cap (nb*k entries)
+
+
+def _rowmm_ok(x, k):
+    return (k > 0 and x.shape[0] * k <= _ROWMM_MAX
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and os.environ.get("ATHENAPK_SMR_ROWMM") != "0")
+
+
+def _dus(x, idx, vals):
+    """``x.at[idx].set(vals)`` for an all-static-slice ``idx`` via one
+    dynamic-update-slice.  This jax version lowers ``.at[slices].set``
+    to HLO scatter (even with static, unique indices); DUS keeps the
+    write a single in-place region update.  ``vals`` must exactly match
+    the slice extents (no strides)."""
+    starts = []
+    for ax, sl in enumerate(idx):
+        starts.append(0 if sl == slice(None) else (sl.start or 0))
+    starts += [0] * (x.ndim - len(starts))
+    return jax.lax.dynamic_update_slice(x, vals, tuple(starts))
+
+
+def _take_rows(x, idx):
+    """``x[idx]`` on the leading (leaf) axis without an HLO gather.
+
+    TPU lowers leaf-axis gathers/scatters with index arrays to
+    sequential per-index loops; ~300 of them made the slab fill
+    dispatch-bound (56 ms against ~2 ms of actual slab traffic at the
+    AMR bench geometry).  The index arrays are compile-time constants,
+    so each row move becomes a static 0/1 matrix contraction on the
+    MXU instead.  Exact: one-hot rows pick out single values and
+    ``Precision.HIGHEST`` keeps the f32 mantissa intact (0*v terms add
+    exact zeros for finite v).  Falls back to fancy indexing for huge
+    leaf counts (the one-hot is O(nb*k)) or under
+    ``ATHENAPK_SMR_ROWMM=0``.
+    """
+    idx = np.asarray(idx)
+    if not _rowmm_ok(x, idx.size):
+        return x[idx]
+    m = np.zeros((idx.size, x.shape[0]), dtype=x.dtype)
+    m[np.arange(idx.size), idx] = 1
+    return jnp.einsum("ij,j...->i...", jnp.asarray(m), x,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _set_rows(x, idx, vals):
+    """``x.at[idx].set(vals)`` on the leaf axis without an HLO scatter
+    (same rationale and fallbacks as ``_take_rows``); ``idx`` must be
+    unique.  The embed multiplies every ``vals`` row by 0/1 and sums,
+    so a non-finite value in one written row contaminates the OTHER
+    written rows of the same batch (0*nan==nan) — fill inputs are
+    finite by construction (FOFC rescues non-finite cells before the
+    next fill); untouched rows keep ``x`` via the select.
+    """
+    idx = np.asarray(idx)
+    if not _rowmm_ok(x, idx.size):
+        return x.at[idx].set(vals)
+    nb = x.shape[0]
+    p = np.zeros((nb, idx.size), dtype=x.dtype)
+    p[idx, np.arange(idx.size)] = 1
+    emb = jnp.einsum("ij,j...->i...", jnp.asarray(p), vals,
+                     precision=jax.lax.Precision.HIGHEST)
+    mask = np.zeros((nb,) + (1,) * (x.ndim - 1), bool)
+    mask[idx] = True
+    return jnp.where(jnp.asarray(mask), emb, x)
 
 
 class SmrMesh:
@@ -481,7 +549,7 @@ class SmrState:
                 d, s = batch["same"][face]
                 src = slice(n, n + g) if lo else slice(g, 2 * g)
                 strip = u[vsl(src)]
-                slab = slab.at[d].set(strip[s])
+                slab = _set_rows(slab, d, _take_rows(strip, s))
                 touched = True
 
             # ---- fine restriction (children interiors + round-A face
@@ -505,7 +573,8 @@ class SmrState:
                         idx[ax + 1] = (csrc if ax == axis
                                        else tsl(ax, child=True,
                                                 child_ext=cext))
-                    strip = ku[tuple(idx)][kidmat.reshape(-1)]
+                    strip = _take_rows(ku[tuple(idx)],
+                                       kidmat.reshape(-1))
                     rest = restrict_average(strip, dims=self.ndim)
                     half = {ax: (half_of[ax] + (2 * fr if ax == ext
                                                 else 0)) if act[ax]
@@ -529,7 +598,7 @@ class SmrState:
                                 off = (ob[ax] * half_of[ax]
                                        if act[ax] else 0)
                                 psl[ax + 1] = slice(off, off + half[ax])
-                        agg = agg.at[tuple(psl)].set(rest[:, j])
+                        agg = _dus(agg, tuple(psl), rest[:, j])
                     # placement into the slab (slab transverse coords:
                     # ext axes span [0, n+2g) -> offset g-fr; interior
                     # axes span [0, n) -> offset 0)
@@ -545,7 +614,9 @@ class SmrState:
                                                 g_of[ax] + n_of[ax])
                         else:
                             ssl[ax + 1] = slice(0, ag_n[ax])
-                    slab = slab.at[(d,) + tuple(ssl[1:])].set(agg)
+                    reg = (slice(None),) + tuple(ssl[1:])
+                    slab = _dus(slab, reg,
+                                _set_rows(slab[reg], d, agg))
                     touched = True
 
             # ---- coarse prolongation (parent fully filled: margins and
@@ -581,9 +652,9 @@ class SmrState:
                             idx[ax + 1] = slice(o_t - 1,
                                                 o_t + half_of[ax] + 1)
                             sel[ax + 1] = slice(2, 2 + n_of[ax])
-                strip = cu[tuple(idx)][s]
+                strip = _take_rows(cu[tuple(idx)], s)
                 fine = prolongate_minmod(strip, dims=self.ndim)
-                slab = slab.at[d].set(fine[tuple(sel)])
+                slab = _set_rows(slab, d, fine[tuple(sel)])
                 touched = True
 
             # ---- physical BCs (own-edge broadcast / mirror; custom
@@ -596,8 +667,9 @@ class SmrState:
                 if bc == "outflow":
                     esl = (slice(g, g + 1) if lo
                            else slice(g + n - 1, g + n))
-                    edge = u[vsl(esl)][d]
-                    slab = slab.at[d].set(
+                    edge = _take_rows(u[vsl(esl)], d)
+                    slab = _set_rows(
+                        slab, d,
                         jnp.broadcast_to(edge, (d.size, self.nvar)
                                          + slab.shape[2:]))
                     touched = True
@@ -605,10 +677,12 @@ class SmrState:
                     from ..core.indices import IM1, IM2, IM3
                     mom_of_axis = {3: IM1, 2: IM2, 1: IM3}
                     msl = slice(g, 2 * g) if lo else slice(n, n + g)
-                    mirror = jnp.flip(u[vsl(msl)][d], axis=axis - 4)
+                    mirror = jnp.flip(_take_rows(u[vsl(msl)], d),
+                                      axis=axis - 4)
                     signs = [1.0] * self.nvar
                     signs[mom_of_axis[axis]] = -1.0
-                    slab = slab.at[d].set(
+                    slab = _set_rows(
+                        slab, d,
                         jnp.asarray(signs, dtype=u.dtype).reshape(
                             (1, self.nvar, 1, 1, 1)) * mirror)
                     touched = True
@@ -624,7 +698,7 @@ class SmrState:
                 new_slabs[lo] = (vsl(ghost), slab)
 
         for gidx, slab in new_slabs.values():
-            u = u.at[gidx].set(slab)
+            u = _dus(u, gidx, slab)
         for bc, d, gsl, ax_, lo_ in custom_ops:
             u = self.custom_bcs[bc](u, d, gsl, lev, ax_, lo_)
         return u

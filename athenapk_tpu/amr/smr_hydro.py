@@ -112,7 +112,17 @@ class SmrHydro:
         self._fc_batch = {
             key: (np.asarray(d, np.int32), np.asarray(k, np.int32), ocs)
             for key, (d, k, ocs) in fc.items()}
-        self.step = jax.jit(self._step)
+        import os as _os
+        self._stage_jits = {}
+        # Whole-step composition is the default; =split runs each stage
+        # and fill as separate dispatches (sum-of-parts cost, immune to
+        # cross-phase copy-insertion — see _step_split's docstring).
+        # Measured at the AMR bench geometry with the lane-packed stage
+        # kernels: composed 45.0 ms vs split 56.0 ms per cycle.
+        if _os.environ.get("ATHENAPK_SMR_STEP") == "split":
+            self.step = self._step_split
+        else:
+            self.step = jax.jit(self._step)
         # jitted ghost fill for the driver loop's post-split-source
         # refill (split sources touch interiors outside the jitted step)
         self.fill_ghosts = jax.jit(self.state_mgr.fill_ghosts)
@@ -542,94 +552,137 @@ class SmrHydro:
         return u.at[:, IPS].multiply(coeff)
 
     def _step(self, state, dt, c_h, t=0.0):
+        """Whole-step composition (all stages + fills in one trace) —
+        kept for A/B against the production split dispatch."""
+        tab = INTEGRATORS[self.cfg.integrator]
+        u0 = dict(state)
+        u1 = dict(state)
+        for s in range(tab["nstages"]):
+            u0 = self._stage_impl(s, u0, u1, dt, c_h, t)
+            u0 = self.state_mgr.fill_ghosts(u0)
+        return u0
+
+    def _step_split(self, state, dt, c_h, t=0.0):
+        """Production step: each integrator stage and each ghost fill is
+        its OWN jitted dispatch, never composed into one XLA module.
+
+        Measured on device (AMR bench geometry, 128^3 + level-1 center,
+        mb 32^3): the composed jit(_step) costs 183 ms while its parts
+        sum to ~62 ms — fusing the slab-assembly fill with the Pallas
+        stage custom-calls makes XLA copy-insert the fill's full-array
+        dynamic-update-slices (37 GB of HBM traffic vs 17 GB for the
+        parts; 533 copy ops in the composed HLO).  Separate dispatches
+        keep each piece at its standalone cost (56 ms measured).
+
+        With the LANE-PACKED stage kernels the composed trace no longer
+        misbehaves (45 ms — the pack/unpack transposes around the
+        custom-calls break the aliasing chains that forced the copies),
+        so composed is the default and this path is the
+        ``ATHENAPK_SMR_STEP=split`` safety lever for deck/path
+        combinations where composition regresses."""
+        tab = INTEGRATORS[self.cfg.integrator]
+        u1 = dict(state)
+        u0 = dict(state)
+        for s in range(tab["nstages"]):
+            fn = self._stage_jits.get(s)
+            if fn is None:
+                import functools
+                fn = self._stage_jits[s] = jax.jit(
+                    functools.partial(self._stage_impl, s))
+            u0 = fn(u0, u1, dt, c_h, t)
+            u0 = self.fill_ghosts(u0)
+        return u0
+
+    def _stage_impl(self, s, state, state1, dt, c_h, t=0.0):
+        """One 2S-integrator stage WITHOUT the trailing ghost fill:
+        per-level (fused) sweeps + coarse-fine flux correction + Dedner
+        + cooling + unsplit problem sources."""
         cfg = self.cfg
         tab = INTEGRATORS[cfg.integrator]
         u0 = dict(state)
-        u1 = dict(state)
+        u1 = dict(state1)
         fused = self._use_pallas_sweep(next(iter(state.values())).dtype)
         stage_fused = fused and self._use_stage_fused()
-        for s in range(tab["nstages"]):
-            recon = cfg.reconstruction
-            if cfg.integrator == "vl2" and s == 0:
-                recon = "dc"
-            beta_dt = tab["beta"][s] * dt
-            prims = {}
-            if stage_fused:
-                # whole-stage kernel (cons->prim + sweeps + face capture
-                # + 2S axpy in VMEM); coarse-fine deltas land on u_new
-                # scaled by beta_dt — algebraically the same correction
-                need_prim = self._need_prim()
-                u_news = {}
-                slabs = {}
-                for lev in u0:
-                    u_new, prim, sl = self._fused_stage_faces(
-                        recon, lev, need_prim)(
-                        u0[lev], u1[lev], tab["gam0"][s], tab["gam1"][s],
-                        beta_dt, c_h)
-                    u_news[lev] = u_new
-                    slabs[lev] = sl
-                    if need_prim:
-                        prims[lev] = prim
-                u0 = self._slab_flux_correct(u_news, slabs,
-                                             scale=beta_dt)
-            elif fused:
-                negdivs = {}
-                slabs = {}
-                for lev in u0:
-                    u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
-                                             cfg.nscalars)
-                    u0[lev] = u0f
-                    prims[lev] = prim
-                    negdivs[lev], slabs[lev] = self._fused_level_stage(
-                        lev, u0f, u1[lev], prim, c_h, recon,
-                        tab["gam0"][s], tab["gam1"][s], beta_dt)
-                negdivs = self._slab_flux_correct(negdivs, slabs)
-                for lev in u0:
-                    u0[lev] = (tab["gam0"][s] * u0[lev]
-                               + tab["gam1"][s] * u1[lev]
-                               + beta_dt * negdivs[lev])
-            else:
-                flux = {}
-                for lev in u0:
-                    u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
-                                             cfg.nscalars)
-                    u0[lev] = u0f
-                    prims[lev] = prim
-                    flux[lev] = self._fluxes_level(prim, lev, c_h, recon)
-                if cfg.first_order_flux_correct:
-                    # per-level DC+LLF rescue BEFORE the coarse-fine
-                    # restriction, matching the reference task order
-                    # (first_order_flux_correct ->
-                    # LoadAndSendFluxCorrections,
-                    # hydro_driver.cpp:517-531)
-                    for lev in u0:
-                        flux[lev] = first_order_flux_correct(
-                            cfg, self.eos, self._dirs, _AXIS_OF_DIR,
-                            {d: self.smesh.dx(lev)[d - 1]
-                             for d in self._dirs},
-                            self._interior_mask, u0[lev], u1[lev],
-                            prims[lev], flux[lev], tab["gam0"][s],
-                            tab["gam1"][s], beta_dt, c_h)
-                flux = self._flux_correct(flux)
-                for lev in u0:
-                    u0[lev] = self._update_level(u0[lev], u1[lev],
-                                                 flux[lev], lev,
-                                                 tab["gam0"][s],
-                                                 tab["gam1"][s], beta_dt)
+        recon = cfg.reconstruction
+        if cfg.integrator == "vl2" and s == 0:
+            recon = "dc"
+        beta_dt = tab["beta"][s] * dt
+        prims = {}
+        if stage_fused:
+            # whole-stage kernel (cons->prim + sweeps + face capture
+            # + 2S axpy in VMEM); coarse-fine deltas land on u_new
+            # scaled by beta_dt — algebraically the same correction
+            need_prim = self._need_prim()
+            u_news = {}
+            slabs = {}
             for lev in u0:
-                if cfg.fluid == GLMMHD:
-                    u0[lev] = self._dedner_source_level(
-                        u0[lev], prims.get(lev), beta_dt, c_h, lev)
-                if self.cooling is not None:
-                    # pointwise unsplit cooling per stage (the uniform
-                    # path's ordering; hydro_pkg.py:296-298)
-                    u0[lev] = self.cooling.apply(u0[lev], beta_dt,
-                                                 cfg.fluid)
-            if self.problem_source_unsplit is not None:
-                # per-level coordinate-dependent sources with cross-level
-                # global reductions (AddUnsplitSources analog)
-                u0 = self.problem_source_unsplit(u0, prims, beta_dt, t)
-            u0 = self.state_mgr.fill_ghosts(u0)
+                u_new, prim, sl = self._fused_stage_faces(
+                    recon, lev, need_prim)(
+                    u0[lev], u1[lev], tab["gam0"][s], tab["gam1"][s],
+                    beta_dt, c_h)
+                u_news[lev] = u_new
+                slabs[lev] = sl
+                if need_prim:
+                    prims[lev] = prim
+            u0 = self._slab_flux_correct(u_news, slabs,
+                                         scale=beta_dt)
+        elif fused:
+            negdivs = {}
+            slabs = {}
+            for lev in u0:
+                u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
+                                         cfg.nscalars)
+                u0[lev] = u0f
+                prims[lev] = prim
+                negdivs[lev], slabs[lev] = self._fused_level_stage(
+                    lev, u0f, u1[lev], prim, c_h, recon,
+                    tab["gam0"][s], tab["gam1"][s], beta_dt)
+            negdivs = self._slab_flux_correct(negdivs, slabs)
+            for lev in u0:
+                u0[lev] = (tab["gam0"][s] * u0[lev]
+                           + tab["gam1"][s] * u1[lev]
+                           + beta_dt * negdivs[lev])
+        else:
+            flux = {}
+            for lev in u0:
+                u0f, prim = cons_to_prim(self.eos, u0[lev], cfg.fluid,
+                                         cfg.nscalars)
+                u0[lev] = u0f
+                prims[lev] = prim
+                flux[lev] = self._fluxes_level(prim, lev, c_h, recon)
+            if cfg.first_order_flux_correct:
+                # per-level DC+LLF rescue BEFORE the coarse-fine
+                # restriction, matching the reference task order
+                # (first_order_flux_correct ->
+                # LoadAndSendFluxCorrections,
+                # hydro_driver.cpp:517-531)
+                for lev in u0:
+                    flux[lev] = first_order_flux_correct(
+                        cfg, self.eos, self._dirs, _AXIS_OF_DIR,
+                        {d: self.smesh.dx(lev)[d - 1]
+                         for d in self._dirs},
+                        self._interior_mask, u0[lev], u1[lev],
+                        prims[lev], flux[lev], tab["gam0"][s],
+                        tab["gam1"][s], beta_dt, c_h)
+            flux = self._flux_correct(flux)
+            for lev in u0:
+                u0[lev] = self._update_level(u0[lev], u1[lev],
+                                             flux[lev], lev,
+                                             tab["gam0"][s],
+                                             tab["gam1"][s], beta_dt)
+        for lev in u0:
+            if cfg.fluid == GLMMHD:
+                u0[lev] = self._dedner_source_level(
+                    u0[lev], prims.get(lev), beta_dt, c_h, lev)
+            if self.cooling is not None:
+                # pointwise unsplit cooling per stage (the uniform
+                # path's ordering; hydro_pkg.py:296-298)
+                u0[lev] = self.cooling.apply(u0[lev], beta_dt,
+                                             cfg.fluid)
+        if self.problem_source_unsplit is not None:
+            # per-level coordinate-dependent sources with cross-level
+            # global reductions (AddUnsplitSources analog)
+            u0 = self.problem_source_unsplit(u0, prims, beta_dt, t)
         return u0
 
     # ------------------------------------------------------------------- dt

@@ -33,13 +33,17 @@ def _interleave(lo, hi, ax):
 
 
 def restrict_average(q, dims=3):
-    """[..., 2nz, 2ny, 2nx] -> [..., nz, ny, nx] (or fewer active dims)."""
-    if dims >= 1:
-        q = 0.5 * (q[..., 0::2] + q[..., 1::2])
-    if dims >= 2:
-        q = 0.5 * (q[..., 0::2, :] + q[..., 1::2, :])
-    if dims >= 3:
-        q = 0.5 * (q[..., 0::2, :, :] + q[..., 1::2, :, :])
+    """[..., 2nz, 2ny, 2nx] -> [..., nz, ny, nx] (or fewer active dims).
+
+    Pair averages via reshape+sum rather than strided slices: this jax
+    version lowers strided basic indexing to HLO gather, which the TPU
+    backend can serialize; the reshape form stays pure
+    reshape/reduce (bitwise-identical arithmetic: 0.5*(a+b))."""
+    for k in range(1, dims + 1):
+        ax = q.ndim - k          # x, then y, then z
+        n = q.shape[ax]
+        shape = q.shape[:ax] + (n // 2, 2) + q.shape[ax + 1:]
+        q = 0.5 * jnp.sum(q.reshape(shape), axis=ax + 1)
     return q
 
 

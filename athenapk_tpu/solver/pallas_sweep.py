@@ -533,6 +533,42 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
     return negdiv_faces
 
 
+def _pick_pack_lanes(NX, NY, nvar, h, nb):
+    """Lane-packing factor for the ghosted stage+faces kernel (VERDICT
+    r3 item 1): concatenate k blocks' rows along the LANE axis so the
+    128-lane quantum is better used.  Ghosted extents (NX = mb + 2g,
+    e.g. 36) usually have NO k with k*NX an exact 128-multiple at sane
+    k, so instead of demanding exactness (``_pick_pack``) this scores
+    every k by lane utilization discounted by the row padding needed to
+    make nb divisible by k, and keeps the best k whose minimal (tz=1)
+    tile still fits the scoped-VMEM budget.  mb=32 g=2: k=7 puts 252 of
+    256 lanes to work (98%) vs 36/128 (28%) unpacked.
+
+    Packing requires h <= g (the caller gates): interior-face stencils
+    then never cross a packed slot's NX span, so cross-slot leakage
+    lands only in ghost-lane outputs the boundary fill overwrites."""
+    if _os.environ.get("ATHENAPK_PALLAS_PACK", "1") != "1":
+        return 1
+    if NX % 128 == 0 or nb <= 1:
+        return 1
+    ty = _pick_tile_sublane(NY, 8)
+
+    def score(k):
+        nbp = -(-nb // k) * k
+        return (k * NX) / _pad_lane(k * NX) * nb / nbp
+
+    def fits(k):
+        return (8 * nvar * (1 + 2 * h) * _pad_sub(ty + 2 * h)
+                * _pad_lane(k * NX) * 4 <= _VMEM_BUDGET)
+
+    best, best_s = 1, score(1)
+    for k in range(2, min(nb, 16) + 1):
+        s = score(k)
+        if s > best_s and fits(k):
+            best, best_s = k, s
+    return best if best_s >= 1.25 * score(1) else 1
+
+
 def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
                            recon: str, g: int, tz: int = 8, ty: int = 8,
                            interpret: bool = False,
@@ -565,14 +601,9 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
     nvar = cfg.nvar
     h = nghost_for(recon)
     ty = _pick_tile_sublane(NY, ty)
-    tz = _fit_tz(NZ, tz, ty, NX, nvar, h)
-    nzb, nyb = NZ // tz, NY // ty
+    tz_want = tz
     dx1, dx2, dx3 = dx[0], dx[1], dx[2]
     nxi, nyi, nzi = NX - 2 * g, NY - 2 * g, NZ - 2 * g
-    ylo_t, ylo_i = g // ty, h + g % ty
-    yhi_t, yhi_i = (g + nyi) // ty, h + (g + nyi) % ty
-    zlo_t, zlo_i = g // tz, h + g % tz
-    zhi_t, zhi_i = (g + nzi) // tz, h + (g + nzi) % tz
 
     def c2p(u):
         return _c2p(eos, u, cfg.fluid, cfg.nscalars)
@@ -585,93 +616,159 @@ def make_fused_stage_faces(block_shape, dx, cfg, eos, positivity_mask,
                           c_h=c_h, nscalars=cfg.nscalars)
         return F, -(jnp.roll(F, -1, axis=axis) - F) / dxd
 
-    def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref, fx_ref,
-               fy_ref, fz_ref, *prim_refs):
-        gam0, gam1, beta_dt, c_h = sref[0], sref[1], sref[2], sref[3]
-        u0c = u0_ref[...]                 # (1, nvar, tz, ty, NX)
-        hz = hz_ref[...][:, :, 0]         # (1, nvar, 2h, ty, NX)
-        hy = hy_ref[...][:, :, :, 0]      # (1, nvar, tz, 2h, NX)
-        u0f, prim = c2p(u0c)
-        _, pzlo = c2p(hz[:, :, :h])
-        _, pzhi = c2p(hz[:, :, h:])
-        _, pylo = c2p(hy[:, :, :, :h])
-        _, pyhi = c2p(hy[:, :, :, h:])
-        prim_z = jnp.concatenate([pzlo, prim, pzhi], axis=2)
-        prim_y = jnp.concatenate([pylo, prim, pyhi], axis=3)
-        Fx, nd = _sweep(prim, -1, 1, dx1, c_h)
-        Fy, ndy = _sweep(prim_y, -2, 2, dx2, c_h)
-        Fz, ndz = _sweep(prim_z, -3, 3, dx3, c_h)
-        nd = nd + ndy[:, :, :, h:h + ty] + ndz[:, :, h:h + tz]
-        out_ref[...] = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
-        fx_ref[...] = jnp.stack([Fx[..., g], Fx[..., g + nxi]], axis=-1)
-        # (1, nvar, tz, 2, NX) -> (1, nvar, 1, tz, 2, NX)
-        fy_ref[...] = jnp.stack([Fy[:, :, :, ylo_i], Fy[:, :, :, yhi_i]],
-                                axis=3)[:, :, None]
-        # (1, nvar, 2, ty, NX) -> (1, nvar, 1, 2, ty, NX)
-        fz_ref[...] = jnp.stack([Fz[:, :, zlo_i], Fz[:, :, zhi_i]],
-                                axis=2)[:, :, None]
-        if emit_prim:
-            prim_refs[0][...] = prim
+    def build(nb, k):
+        """Kernel + pallas_call for a pack factor ``k`` (k blocks' rows
+        concatenated along the LANE axis; ``nb`` is the packed row
+        count nb_padded//k, lane width L = k*NX)."""
+        L = k * NX
+        tz = _fit_tz(NZ, tz_want, ty, L, nvar, h)
+        nzb, nyb = NZ // tz, NY // ty
+        ylo_t, ylo_i = g // ty, h + g % ty
+        yhi_t, yhi_i = (g + nyi) // ty, h + (g + nyi) % ty
+        zlo_t, zlo_i = g // tz, h + g % tz
+        zhi_t, zhi_i = (g + nzi) // tz, h + (g + nzi) % tz
+
+        def kernel(sref, u0_ref, hz_ref, hy_ref, u1_ref, out_ref, fx_ref,
+                   fy_ref, fz_ref, *prim_refs):
+            gam0, gam1, beta_dt, c_h = sref[0], sref[1], sref[2], sref[3]
+            u0c = u0_ref[...]                 # (1, nvar, tz, ty, L)
+            hz = hz_ref[...][:, :, 0]         # (1, nvar, 2h, ty, L)
+            hy = hy_ref[...][:, :, :, 0]      # (1, nvar, tz, 2h, L)
+            u0f, prim = c2p(u0c)
+            _, pzlo = c2p(hz[:, :, :h])
+            _, pzhi = c2p(hz[:, :, h:])
+            _, pylo = c2p(hy[:, :, :, :h])
+            _, pyhi = c2p(hy[:, :, :, h:])
+            prim_z = jnp.concatenate([pzlo, prim, pzhi], axis=2)
+            prim_y = jnp.concatenate([pylo, prim, pyhi], axis=3)
+            # x-sweep stencil safety under packing: every interior face
+            # F[g..g+nxi] of a packed slot reads lanes within its own
+            # NX span when h <= g (qp[g-1] reaches lane g-h >= 0,
+            # qm[g+nxi] reaches lane NX-1); the roll wrap / cross-slot
+            # leakage lands only in ghost-lane outputs, which the
+            # boundary fill overwrites — the unpacked kernel's contract.
+            Fx, nd = _sweep(prim, -1, 1, dx1, c_h)
+            Fy, ndy = _sweep(prim_y, -2, 2, dx2, c_h)
+            Fz, ndz = _sweep(prim_z, -3, 3, dx3, c_h)
+            nd = nd + ndy[:, :, :, h:h + ty] + ndz[:, :, h:h + tz]
+            out_ref[...] = gam0 * u0f + gam1 * u1_ref[...] + beta_dt * nd
+            cols = []
+            for j in range(k):
+                cols.append(Fx[..., j * NX + g])
+                cols.append(Fx[..., j * NX + g + nxi])
+            fx_ref[...] = jnp.stack(cols, axis=-1)
+            # (1, nvar, tz, 2, L) -> (1, nvar, 1, tz, 2, L)
+            fy_ref[...] = jnp.stack([Fy[:, :, :, ylo_i],
+                                     Fy[:, :, :, yhi_i]],
+                                    axis=3)[:, :, None]
+            # (1, nvar, 2, ty, L) -> (1, nvar, 1, 2, ty, L)
+            fz_ref[...] = jnp.stack([Fz[:, :, zlo_i], Fz[:, :, zhi_i]],
+                                    axis=2)[:, :, None]
+            if emit_prim:
+                prim_refs[0][...] = prim
+
+        def call(u0, u1, s):
+            dt_ = u0.dtype
+            hz = _halo_slabs(u0, tz, h, 2)
+            hy = _halo_slabs(u0, ty, h, 3)
+            tile = pl.BlockSpec((1, nvar, tz, ty, L),
+                                lambda b, i, j, c: (b, 0, i, j, 0))
+            out_specs = [
+                tile,
+                # x faces: every tile owns its (z, y) patch
+                pl.BlockSpec((1, nvar, tz, ty, 2 * k),
+                             lambda b, i, j, c: (b, 0, i, j, 0)),
+                # y candidates per (iz, jy): [nb, nvar, nyb, NZ, 2, L]
+                # — the tile axis LEADS (a 1-extent block dim in the
+                # sublane slot would violate Mosaic's 8-alignment)
+                pl.BlockSpec((1, nvar, 1, tz, 2, L),
+                             lambda b, i, j, c: (b, 0, j, i, 0, 0)),
+                # z candidates per (iz, jy): [nb, nvar, nzb, 2, NY, L]
+                pl.BlockSpec((1, nvar, 1, 2, ty, L),
+                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct(u0.shape, dt_),
+                jax.ShapeDtypeStruct((nb, nvar, NZ, NY, 2 * k), dt_),
+                jax.ShapeDtypeStruct((nb, nvar, nyb, NZ, 2, L), dt_),
+                jax.ShapeDtypeStruct((nb, nvar, nzb, 2, NY, L), dt_),
+            ]
+            if emit_prim:
+                out_specs.append(tile)
+                out_shape.append(jax.ShapeDtypeStruct(u0.shape, dt_))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nzb, nyb),
+                in_specs=[
+                    tile,
+                    pl.BlockSpec((1, nvar, 1, 2 * h, ty, L),
+                                 lambda b, i, j, c: (b, 0, i, 0, j, 0)),
+                    pl.BlockSpec((1, nvar, tz, 1, 2 * h, L),
+                                 lambda b, i, j, c: (b, 0, i, j, 0, 0)),
+                    tile,
+                ],
+                out_specs=tuple(out_specs),
+            )
+            res = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=tuple(out_shape),
+                interpret=interpret,
+                compiler_params=_compiler_params(),
+            )(s, u0, hz, hy, u1)
+            u_new, fx, fy, fz = res[:4]
+            prim = res[4] if emit_prim else None
+            # keep only the owner tiles' candidate planes
+            slab_y = jnp.stack([fy[:, :, ylo_t, :, 0],
+                                fy[:, :, yhi_t, :, 1]],
+                               axis=-1)         # [nb, nvar, NZ, L, 2]
+            slab_z = jnp.stack([fz[:, :, zlo_t, 0], fz[:, :, zhi_t, 1]],
+                               axis=-1)         # [nb, nvar, NY, L, 2]
+            return u_new, prim, fx, slab_y, slab_z
+
+        return call
+
+    def _unpack_rows(a, nb, k, nbp):
+        """[nbp//k, ..., k*W] -> [nb, ..., W] (inverse of the row pack
+        on the lane axis; drops the padded rows)."""
+        W = a.shape[-1] // k
+        a = a.reshape(a.shape[:-1] + (k, W))
+        a = jnp.moveaxis(a, -2, 1)
+        return a.reshape((nbp,) + a.shape[2:])[:nb]
 
     def stage_faces(u0, u1, gam0, gam1, beta_dt, c_h):
         nb = u0.shape[0]
         dt_ = u0.dtype
         s = jnp.stack([jnp.asarray(gam0, dt_), jnp.asarray(gam1, dt_),
                        jnp.asarray(beta_dt, dt_), jnp.asarray(c_h, dt_)])
-        hz = _halo_slabs(u0, tz, h, 2)
-        hy = _halo_slabs(u0, ty, h, 3)
-        tile = pl.BlockSpec((1, nvar, tz, ty, NX),
-                            lambda b, i, j, c: (b, 0, i, j, 0))
-        out_specs = [
-            tile,
-            # x faces: every tile owns its (z, y) patch
-            pl.BlockSpec((1, nvar, tz, ty, 2),
-                         lambda b, i, j, c: (b, 0, i, j, 0)),
-            # y candidates per (iz, jy): [nb, nvar, nyb, NZ, 2, NX]
-            # — the tile axis LEADS (a 1-extent block dim in the sublane
-            # slot would violate Mosaic's 8-alignment)
-            pl.BlockSpec((1, nvar, 1, tz, 2, NX),
-                         lambda b, i, j, c: (b, 0, j, i, 0, 0)),
-            # z candidates per (iz, jy): [nb, nvar, nzb, 2, NY, NX]
-            pl.BlockSpec((1, nvar, 1, 2, ty, NX),
-                         lambda b, i, j, c: (b, 0, i, 0, j, 0)),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct(u0.shape, dt_),
-            jax.ShapeDtypeStruct((nb, nvar, NZ, NY, 2), dt_),
-            jax.ShapeDtypeStruct((nb, nvar, nyb, NZ, 2, NX), dt_),
-            jax.ShapeDtypeStruct((nb, nvar, nzb, 2, NY, NX), dt_),
-        ]
-        if emit_prim:
-            out_specs.append(tile)
-            out_shape.append(jax.ShapeDtypeStruct(u0.shape, dt_))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb, nzb, nyb),
-            in_specs=[
-                tile,
-                pl.BlockSpec((1, nvar, 1, 2 * h, ty, NX),
-                             lambda b, i, j, c: (b, 0, i, 0, j, 0)),
-                pl.BlockSpec((1, nvar, tz, 1, 2 * h, NX),
-                             lambda b, i, j, c: (b, 0, i, j, 0, 0)),
-                tile,
-            ],
-            out_specs=tuple(out_specs),
-        )
-        res = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=tuple(out_shape),
-            interpret=interpret,
-            compiler_params=_compiler_params(),
-        )(s, u0, hz, hy, u1)
-        u_new, fx, fy, fz = res[:4]
-        prim = res[4] if emit_prim else None
-        # keep only the owner tiles' candidate planes
-        slab_y = jnp.stack([fy[:, :, ylo_t, :, 0], fy[:, :, yhi_t, :, 1]],
-                           axis=-1)                 # [nb, nvar, NZ, NX, 2]
-        slab_z = jnp.stack([fz[:, :, zlo_t, 0], fz[:, :, zhi_t, 1]],
-                           axis=-1)                 # [nb, nvar, NY, NX, 2]
+        k = _pick_pack_lanes(NX, NY, nvar, h, nb) if h <= g else 1
+        if k == 1:
+            u_new, prim, fx, slab_y, slab_z = build(nb, 1)(u0, u1, s)
+            return u_new, prim, {1: fx, 2: slab_y, 3: slab_z}
+        nbp = -(-nb // k) * k
+        pad = nbp - nb
+
+        def pack(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])],
+                    axis=0)
+            a = a.reshape(nbp // k, k, nvar, NZ, NY, NX)
+            return a.transpose(0, 2, 3, 4, 1, 5).reshape(
+                nbp // k, nvar, NZ, NY, k * NX)
+
+        u_new, prim, fx, slab_y, slab_z = build(nbp // k, k)(
+            pack(u0), pack(u1), s)
+        u_new = _unpack_rows(u_new, nb, k, nbp)
+        if prim is not None:
+            prim = _unpack_rows(prim, nb, k, nbp)
+        fx = _unpack_rows(fx, nb, k, nbp)          # 2k cols -> 2
+        slab_y = jnp.swapaxes(
+            _unpack_rows(jnp.swapaxes(slab_y, -1, -2), nb, k, nbp),
+            -1, -2)
+        slab_z = jnp.swapaxes(
+            _unpack_rows(jnp.swapaxes(slab_z, -1, -2), nb, k, nbp),
+            -1, -2)
         return u_new, prim, {1: fx, 2: slab_y, 3: slab_z}
 
     return stage_faces
