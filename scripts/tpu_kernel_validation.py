@@ -342,6 +342,49 @@ def _stage_faces():
     return rel
 
 
+@check("stage+faces lane-packed vs unpacked (bench mb=32 g=2)")
+def _stage_faces_pack_ab():
+    """Bitwise A/B of the r4 lane-packed stage+faces kernel against
+    ATHENAPK_PALLAS_PACK=0 at the AMR bench block geometry (interiors
+    and face slabs must match exactly: packing is pure data movement
+    around the unchanged kernel math)."""
+    gh = Mesh(nx1=64, nx2=32, nx3=32, mbnx1=32, mbnx2=32, mbnx3=32,
+              x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+              nghost=2)
+    g = gh.nghost
+    cfg = HydroConfig(fluid="euler", riemann="hlle",
+                      reconstruction="plm", integrator="vl2")
+    eos = EOS(gamma=5.0 / 3.0)
+    pkg = HydroPackage(gh, cfg, eos)
+    u0 = jax.jit(pkg.apply_boundaries)(mk_state(gh, cfg, eos))
+    u1 = u0 * jnp.float32(1.02)
+    gam0, gam1, bdt = (jnp.float32(v) for v in (0.3, 0.7, 2e-3))
+    c_h = jnp.float32(0.0)
+
+    def run():
+        fn = ps.make_fused_stage_faces(
+            gh.block_shape, (gh.dx1, gh.dx2, gh.dx3), cfg, eos,
+            pkg._positivity_mask, "plm", g, tz=8, ty=8,
+            interpret=INTERPRET, emit_prim=True)
+        return jax.jit(lambda a, b: fn(a, b, gam0, gam1, bdt, c_h))(
+            u0, u1)
+
+    u_p, prim_p, faces_p = run()
+    os.environ["ATHENAPK_PALLAS_PACK"] = "0"
+    try:
+        u_u, prim_u, faces_u = run()
+    finally:
+        os.environ.pop("ATHENAPK_PALLAS_PACK", None)
+    sl = (slice(None), slice(None), slice(g, -g), slice(g, -g),
+          slice(g, -g))
+    rel = _rel(np.asarray(u_p), np.asarray(u_u), sl)
+    rel = max(rel, _rel(np.asarray(prim_p), np.asarray(prim_u), sl))
+    for d in (1, 2, 3):
+        rel = max(rel, _rel(np.asarray(faces_p[d])[:, :, g:-g, g:-g],
+                            np.asarray(faces_u[d])[:, :, g:-g, g:-g]))
+    return rel
+
+
 @check("stage kernel ghost-free (glmmhd)")
 def _stage_gf():
     gf, _, _ = meshes()
