@@ -472,8 +472,25 @@ class SmrState:
         fill.  ``ATHENAPK_SMR_FILL=scatter`` selects the original
         formulation (kept for A/B and as the reference semantics).
         """
-        if os.environ.get("ATHENAPK_SMR_FILL") == "scatter":
+        mode = os.environ.get("ATHENAPK_SMR_FILL")
+        if mode == "scatter":
             return self._fill_ghosts_scatter(state)
+        if mode == "buffered" and not self.custom_bcs:
+            # write-once buffer composition: bitwise-identical
+            # (test_smr_fill_ab) and slightly faster standalone
+            # (8.3 vs 9.7 ms at the AMR bench geometry), but it
+            # composes WORSE with the stage kernels (76 vs 45 ms per
+            # composed step) — kept opt-in, not the default.  Custom
+            # BCs are arbitrary functions of the whole level array
+            # applied mid-sweep; only the sequential formulation can
+            # serve their reads.
+            return self._fill_ghosts_buffered(state)
+        return self._fill_ghosts_sequential(state)
+
+    def _fill_ghosts_sequential(self, state):
+        """Slab assembly with per-axis array writes (the reference
+        sequencing made explicit; serves custom-BC decks and
+        ``ATHENAPK_SMR_FILL=sequential`` A/B runs)."""
         out = dict(state)
         act_axes = [ax for ax in (3, 2, 1) if self.act[ax]]
         levs = sorted(self.smesh.level_ids)
@@ -492,15 +509,166 @@ class SmrState:
                                            phys_only=True)
         return out
 
+    def _fill_ghosts_buffered(self, state):
+        """Write-once formulation (round 4, ``ATHENAPK_SMR_FILL=
+        buffered``): every slab of every pass is assembled into a
+        standalone BUFFER,
+        reading only the ORIGINAL state plus chronologically earlier
+        buffers (``_buffered_read`` composes the newest covering buffer
+        per ghost sub-box — exactly the value the sequential path's
+        array would have held at that point).  Each level array is then
+        written by ONE dead-operand dynamic-update-slice chain at the
+        very end.
+
+        Why: with per-axis array writes, each level array is read and
+        re-written ~10 times per fill; XLA cannot prove the update
+        operands dead across the ~600-fusion graph and copy-inserts
+        most of them (7.2 GB of HBM traffic measured standalone at the
+        AMR bench geometry, 37 GB when composed with the stage
+        kernels, vs ~0.2 GB of actual slab data).  Pass-A slabs are
+        never written to the arrays at all — pass B rewrites every
+        face at equal-or-wider extents, so their only consumers are
+        pass-B restriction reads, served from the buffers.
+
+        MEASURED OUTCOME (why this is not the default): standalone
+        8.3 ms vs sequential's 9.7 — both fills are bound by the ~150
+        small one-hot row-move contractions, not by the array updates —
+        but COMPOSED with the lane-packed stage kernels the step
+        regresses to 76 ms vs 45 (the sub-box concat trees defeat the
+        fusion/aliasing pattern that makes the sequential fill cheap
+        in-graph).  Kept as a lever and as executable documentation of
+        the sequential path's read semantics (the bitwise A/B in
+        test_smr_fill_ab.py pins the two together)."""
+        act_axes = [ax for ax in (3, 2, 1) if self.act[ax]]
+        levs = sorted(self.smesh.level_ids)
+        bufs = []   # chronological: (lev, axis, lo, exts, write, gidx, slab)
+
+        def read(l, idx):
+            return self._buffered_read(state, bufs, l, idx)
+
+        def run_pass(lev, ax, exts, write, phys_only=False):
+            slabs, custom_ops = self._assemble_axis(
+                read, lev, ax, exts, phys_only=phys_only)
+            assert not custom_ops  # custom BCs take the sequential path
+            for lo, (gidx, slab) in slabs.items():
+                bufs.append((lev, ax, lo, frozenset(exts), write,
+                             gidx, slab))
+
+        for lev in levs[1:]:                          # pass A
+            for ax in act_axes:
+                run_pass(lev, ax, (), write=False)
+        for lev in levs:                              # pass B
+            for i, ax in enumerate(act_axes):
+                run_pass(lev, ax, tuple(act_axes[:i]), write=True)
+        for lev in levs:                              # pass C: phys last
+            for ax in act_axes:
+                run_pass(lev, ax,
+                         tuple(a for a in act_axes if a != ax),
+                         write=True, phys_only=True)
+        out = dict(state)
+        for lev in levs:
+            u = out[lev]
+            for (l2, _, _, _, write, gidx, slab) in bufs:
+                if write and l2 == lev:
+                    u = _dus(u, gidx, slab)
+            out[lev] = u
+        return out
+
+    def _buffered_read(self, state, bufs, lev, idx):
+        """Read region ``idx`` (full-array coords) of level ``lev`` as
+        the sequential path would see it: per ghost sub-box, the value
+        of the chronologically NEWEST buffer covering it, else the
+        original (stale-ghost) state.  Requests are decomposed at the
+        interior boundaries per axis (<= 3^ndim sub-boxes, re-joined by
+        concatenation); slices clamp like basic indexing."""
+        n_of, g_of, act = self.n_of, self.g_of, self.act
+
+        def split(ax, s):
+            g, n = g_of[ax], n_of[ax]
+            lo = 0 if s.start is None else max(s.start, 0)
+            hi = 2 * g + n if s.stop is None else min(s.stop, 2 * g + n)
+            cuts = ((-1, lo, min(hi, g)),
+                    (0, max(lo, g), min(hi, g + n)),
+                    (1, max(lo, g + n), hi))
+            return [(z, (a, b)) for z, a, b in cuts if a < b]
+
+        def fetch(zones):
+            if all(z == 0 or not act[ax]
+                   for ax, (z, _) in zones.items()):
+                sl = ((slice(None), slice(None))
+                      + tuple(slice(*zones[ax][1]) for ax in (1, 2, 3)))
+                return state[lev][sl]
+            for (blev, a, lo_b, exts, _, _, slab) in reversed(bufs):
+                if blev != lev or zones[a][0] != (-1 if lo_b else 1):
+                    continue
+                if not all(z == 0 or t == a or t in exts or not act[t]
+                           for t, (z, _) in zones.items()):
+                    continue
+                sl = [slice(None), slice(None), None, None, None]
+                for t in (1, 2, 3):
+                    z, (p, q) = zones[t]
+                    if not act[t] or t in exts:
+                        off = 0
+                    elif t == a:
+                        off = 0 if lo_b else g_of[t] + n_of[t]
+                    else:
+                        off = g_of[t]
+                    sl[t + 1] = slice(p - off, q - off)
+                return slab[tuple(sl)]
+            # no writer yet: stale original ghosts (slab-base reads)
+            sl = ((slice(None), slice(None))
+                  + tuple(slice(*zones[ax][1]) for ax in (1, 2, 3)))
+            return state[lev][sl]
+
+        def rec(ax, zones):
+            if ax == 4:
+                return fetch(zones)
+            s = idx[ax + 1]
+            if not act[ax]:
+                lo = 0 if s.start is None else max(s.start, 0)
+                hi = (n_of[ax] if s.stop is None
+                      else min(s.stop, n_of[ax]))
+                zones = dict(zones)
+                zones[ax] = (0, (lo, hi))
+                return rec(ax + 1, zones)
+            parts = []
+            for z, rng in split(ax, s):
+                z2 = dict(zones)
+                z2[ax] = (z, rng)
+                parts.append(rec(ax + 1, z2))
+            return (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=ax + 1))
+
+        return rec(1, {})
+
     # ------------------------------------------------- slab-assembly fill
     def _fill_axis(self, out, lev, axis, ext_axes, phys_only=False):
-        """Assemble and write the lo/hi ghost slabs of ``axis`` for one
-        level.  ``ext_axes``: transverse axes whose ghost columns are
-        included (already filled this round).  ``phys_only``: pass C —
-        re-apply only the physical/custom BCs at full transverse extent
-        so boundary corners are consistently BC-derived (the scatter
-        path's 'extended runs LAST' rule).  Returns the new level
+        """Sequential-mode axis fill: assemble the lo/hi ghost slabs of
+        ``axis`` reading the CURRENT level arrays (``out``), then write
+        them + custom BCs into the level array.  Returns the new level
         array; all reads of the old array precede the two writes."""
+        def read(l, idx):
+            return out[l][idx]
+
+        new_slabs, custom_ops = self._assemble_axis(read, lev, axis,
+                                                    ext_axes, phys_only)
+        u = out[lev]
+        for gidx, slab in new_slabs.values():
+            u = _dus(u, gidx, slab)
+        for bc, d, gsl, ax_, lo_ in custom_ops:
+            u = self.custom_bcs[bc](u, d, gsl, lev, ax_, lo_)
+        return u
+
+    def _assemble_axis(self, read, lev, axis, ext_axes, phys_only=False):
+        """Assemble the lo/hi ghost slabs of ``axis`` for one level.
+        ``read(level, idx5)`` serves every source read (the sequential
+        path passes direct array indexing; the buffered path passes
+        ``_buffered_read``).  ``ext_axes``: transverse axes whose ghost
+        columns are included (already filled this round).
+        ``phys_only``: pass C — re-apply only the physical/custom BCs
+        at full transverse extent so boundary corners are consistently
+        BC-derived (the scatter path's 'extended runs LAST' rule).
+        Returns ({lo: (ghost_region_idx, slab)}, custom_ops)."""
         sm = self.smesh
         n_of, g_of, act = self.n_of, self.g_of, self.act
         half_of = self.half_of
@@ -508,7 +676,6 @@ class SmrState:
         h = half_of[axis]
         gc = (g + 1) // 2            # coarse cells covering g fine ghosts
         fr = g // 2                  # restrict transverse corner depth
-        u = out[lev]
         batch = self._batch[lev]
 
         def tsl(ax, child=False, child_ext=()):
@@ -541,14 +708,14 @@ class SmrState:
             if phys_only and face not in batch["phys"]:
                 continue
             ghost = slice(0, g) if lo else slice(g + n, 2 * g + n)
-            slab = u[vsl(ghost)]                      # old content base
+            slab = read(lev, vsl(ghost))              # old content base
             touched = False
 
             # ---- same-level copies (sources: interiors only)
             if not phys_only and face in batch["same"]:
                 d, s = batch["same"][face]
                 src = slice(n, n + g) if lo else slice(g, 2 * g)
-                strip = u[vsl(src)]
+                strip = read(lev, vsl(src))
                 slab = _set_rows(slab, d, _take_rows(strip, s))
                 touched = True
 
@@ -564,7 +731,6 @@ class SmrState:
                        if (oc >> bit) & 1 == want]
                 csrc = (slice(g + n - 2 * g, g + n) if lo
                         else slice(g, 3 * g))
-                ku = out[lev + 1]
                 for ext in (None,) + tuple(t for t in ext_axes
                                            if act[t] and fr > 0):
                     cext = (ext,) if ext is not None else ()
@@ -573,7 +739,7 @@ class SmrState:
                         idx[ax + 1] = (csrc if ax == axis
                                        else tsl(ax, child=True,
                                                 child_ext=cext))
-                    strip = _take_rows(ku[tuple(idx)],
+                    strip = _take_rows(read(lev + 1, tuple(idx)),
                                        kidmat.reshape(-1))
                     rest = restrict_average(strip, dims=self.ndim)
                     half = {ax: (half_of[ax] + (2 * fr if ax == ext
@@ -586,7 +752,7 @@ class SmrState:
                             for ax in (1, 2, 3)}
                     ag_n[axis] = g
                     agg = jnp.zeros((nops, self.nvar, ag_n[1], ag_n[2],
-                                     ag_n[3]), dtype=u.dtype)
+                                     ag_n[3]), dtype=rest.dtype)
                     for j, oc in enumerate(ocs):
                         ob = self._obit(oc)
                         psl = [slice(None), slice(None), None, None,
@@ -620,11 +786,17 @@ class SmrState:
                     touched = True
 
             # ---- coarse prolongation (parent fully filled: margins and
-            # ghost-extended spans read completed parent ghosts)
+            # ghost-extended spans read completed parent ghosts).  The
+            # octant groups of a face share sel and strip SHAPE (only
+            # the parent read offsets differ), so all groups batch into
+            # ONE take + prolong + set — each one-hot row-move runs at
+            # trivial MXU utilization and the fill is bound by their
+            # COUNT, not their size
             cgroups = {} if phys_only else {
                 oct_: ds for (f, oct_), ds in batch["coarse"].items()
                 if f == face}
-            cu = out[lev - 1] if cgroups else None
+            sel = None
+            ogroups = []
             for oct_, (d, s) in cgroups.items():
                 ob = self._obit(oct_)
                 o_ax = g + ob[axis] * h
@@ -632,6 +804,7 @@ class SmrState:
                        else slice(o_ax - 1, o_ax + gc + 1))
                 idx = [slice(None), slice(None), None, None, None]
                 sel = [slice(None), slice(None), None, None, None]
+                clamped = False
                 for ax in (1, 2, 3):
                     if ax == axis:
                         idx[ax + 1] = csl
@@ -652,9 +825,32 @@ class SmrState:
                             idx[ax + 1] = slice(o_t - 1,
                                                 o_t + half_of[ax] + 1)
                             sel[ax + 1] = slice(2, 2 + n_of[ax])
-                strip = _take_rows(cu[tuple(idx)], s)
+                    sl = idx[ax + 1]
+                    ext_full = (n_of[ax] + 2 * g_of[ax] if act[ax]
+                                else n_of[ax])
+                    clamped |= sl.start < 0 or sl.stop > ext_full
+                ogroups.append((tuple(idx), d, s, clamped))
+            if ogroups and not any(cl for *_, cl in ogroups):
+                parts = [read(lev - 1, idx) for idx, *_ in ogroups]
+                nbp = parts[0].shape[0]
+                big = (jnp.concatenate(parts, axis=0)
+                       if len(parts) > 1 else parts[0])
+                s_cat = np.concatenate(
+                    [np.asarray(s) + k * nbp
+                     for k, (_, _, s, _) in enumerate(ogroups)])
+                d_cat = np.concatenate(
+                    [np.asarray(d) for _, d, _, _ in ogroups])
+                strip = _take_rows(big, s_cat)
                 fine = prolongate_minmod(strip, dims=self.ndim)
-                slab = _set_rows(slab, d, fine[tuple(sel)])
+                slab = _set_rows(slab, d_cat, fine[tuple(sel)])
+                touched = True
+            elif ogroups:
+                # a clamped read (g=1-class extents) changes per-octant
+                # strip shapes: keep the unbatched path
+                for idx, d, s, _ in ogroups:
+                    strip = _take_rows(read(lev - 1, idx), s)
+                    fine = prolongate_minmod(strip, dims=self.ndim)
+                    slab = _set_rows(slab, d, fine[tuple(sel)])
                 touched = True
 
             # ---- physical BCs (own-edge broadcast / mirror; custom
@@ -667,7 +863,7 @@ class SmrState:
                 if bc == "outflow":
                     esl = (slice(g, g + 1) if lo
                            else slice(g + n - 1, g + n))
-                    edge = _take_rows(u[vsl(esl)], d)
+                    edge = _take_rows(read(lev, vsl(esl)), d)
                     slab = _set_rows(
                         slab, d,
                         jnp.broadcast_to(edge, (d.size, self.nvar)
@@ -677,13 +873,13 @@ class SmrState:
                     from ..core.indices import IM1, IM2, IM3
                     mom_of_axis = {3: IM1, 2: IM2, 1: IM3}
                     msl = slice(g, 2 * g) if lo else slice(n, n + g)
-                    mirror = jnp.flip(_take_rows(u[vsl(msl)], d),
+                    mirror = jnp.flip(_take_rows(read(lev, vsl(msl)), d),
                                       axis=axis - 4)
                     signs = [1.0] * self.nvar
                     signs[mom_of_axis[axis]] = -1.0
                     slab = _set_rows(
                         slab, d,
-                        jnp.asarray(signs, dtype=u.dtype).reshape(
+                        jnp.asarray(signs, dtype=mirror.dtype).reshape(
                             (1, self.nvar, 1, 1, 1)) * mirror)
                     touched = True
                 elif bc in self.custom_bcs:
@@ -697,11 +893,7 @@ class SmrState:
             if touched:
                 new_slabs[lo] = (vsl(ghost), slab)
 
-        for gidx, slab in new_slabs.values():
-            u = _dus(u, gidx, slab)
-        for bc, d, gsl, ax_, lo_ in custom_ops:
-            u = self.custom_bcs[bc](u, d, gsl, lev, ax_, lo_)
-        return u
+        return new_slabs, custom_ops
 
     def _fill_ghosts_scatter(self, state):
         """Original scatter formulation (reference semantics; selected

@@ -129,6 +129,7 @@ class SmrHydro:
         # jitted dt estimates: the eager per-op dispatch of the whole
         # per-level reduction chain was a per-cycle host-side cost
         self.estimate_dt = jax.jit(self._estimate_dt_impl)
+        self.dt_pack = jax.jit(self._dt_pack_impl)
         self.estimate_dt_with_diff = jax.jit(
             self._estimate_dt_with_diff_impl)
         self._rkl2_first = jax.jit(self._rkl2_first_impl,
@@ -686,6 +687,25 @@ class SmrHydro:
         return u0
 
     # ------------------------------------------------------------------- dt
+    def _dt_pack_impl(self, state, tm_dt, t, tlim):
+        """Device-side per-cycle timestep package for the PIPELINED
+        driver loop: ``[dt_raw, dt_eff, c_h]`` where dt_raw is the CFL
+        estimate capped by the 2x growth ratchet and dt_eff adds the
+        tlim clamp (the legacy host clamp chain, kept on device so the
+        driver never blocks between cycles — the single host read of
+        this pack overlaps the step's execution).  c_h is the GLM
+        cleaning speed for dt_eff (cfl * min_dx / dt, ``_c_h``)."""
+        dt_raw = jnp.minimum(self._estimate_dt_impl(state), 2.0 * tm_dt)
+        dt_eff = jnp.minimum(dt_raw, tlim - t)
+        if self.cfg.fluid == GLMMHD:
+            mindx = self.smesh.min_dx(self.smesh.max_level)
+            c_h = jnp.where(dt_eff > 0,
+                            self.cfg.cfl * mindx / dt_eff,
+                            jnp.zeros_like(dt_eff))
+        else:
+            c_h = jnp.zeros_like(dt_eff)
+        return jnp.stack([dt_raw, dt_eff, c_h])
+
     def _estimate_dt_impl(self, state):
         cfg = self.cfg
         eos = self.eos

@@ -111,10 +111,10 @@ def main():
     dt = jnp.float32(1e-4)
     c_h = jnp.float32(1.0)
 
-    t_step = timeit("step SPLIT dispatch (production)",
+    mode = ("split" if os.environ.get("ATHENAPK_SMR_STEP") == "split"
+            else "composed")
+    t_step = timeit(f"step production dispatch ({mode})",
                     st.step, state, dt, c_h)
-    t_step_f = timeit("step composed one-jit (A/B)",
-                      jax.jit(st._step), state, dt, c_h)
 
     fill = jax.jit(st.state_mgr.fill_ghosts)
     t_fill = timeit("fill_ghosts (one pass)", fill, state)

@@ -90,6 +90,36 @@ CASES = [
 
 
 @pytest.mark.parametrize("nx,mb,dims,g,bc", CASES)
+def test_buffered_fill_bitwise_matches_sequential(nx, mb, dims, g, bc,
+                                                  monkeypatch):
+    """The write-once buffered fill (r4 production default) must be
+    BITWISE identical to the sequential per-axis-write formulation:
+    the slab assembly code is shared and ``_buffered_read`` must
+    reproduce exactly the values the sequential path's arrays hold at
+    each read point (newest covering buffer per ghost sub-box)."""
+    bcs = {f"{s}x{d}_bc": bc for s in ("i", "o") for d in (1, 2, 3)}
+    base = Mesh(nx1=nx, nx2=nx if dims >= 2 else 1,
+                nx3=nx if dims == 3 else 1,
+                mbnx1=mb, mbnx2=mb if dims >= 2 else 1,
+                mbnx3=mb if dims == 3 else 1,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=g, **bcs)
+    lo, hi = 0.4, 0.6
+    region = (lo, hi, lo if dims >= 2 else 0.0, hi if dims >= 2 else 1.0,
+              lo if dims == 3 else 0.0, hi if dims == 3 else 1.0, 1)
+    sm = SmrMesh(base, [region])
+    state = _random_state(sm, 4, seed=nx + g + dims)
+    st = SmrState(sm, 4)
+    monkeypatch.setenv("ATHENAPK_SMR_FILL", "buffered")
+    buf = st.fill_ghosts(state)
+    monkeypatch.setenv("ATHENAPK_SMR_FILL", "sequential")
+    seq = st.fill_ghosts(state)
+    for lev in buf:
+        np.testing.assert_array_equal(np.asarray(buf[lev]),
+                                      np.asarray(seq[lev]))
+
+
+@pytest.mark.parametrize("nx,mb,dims,g,bc", CASES)
 def test_slab_fill_matches_scatter(nx, mb, dims, g, bc, monkeypatch):
     bcs = {f"{s}x{d}_bc": bc for s in ("i", "o") for d in (1, 2, 3)}
     base = Mesh(nx1=nx, nx2=nx if dims >= 2 else 1,
