@@ -31,7 +31,10 @@ rows = json.load(open(GRID))
 rows = [r for r in rows if r.get("mesh") != "refined"]
 
 for mb in (int(x) for x in os.environ.get("SMR_GRID_MBS",
-                                          "16,32,64").split(",")):
+                                          "32,64,16").split(",")):
+    # 32 first (bench default — step graph usually in .jax_cache), 16
+    # LAST: its 960-leaf composed graph is the slowest remote compile
+    # by far, and a wedge there must not cost the other rows.
     zcps, wall, counted, desc = bench.run_bench_smr(n=128, mb=mb)
     print(f"mb={mb}: {zcps:.4e} zc/s ({counted} cycles in {wall:.2f}s)"
           f" [{desc}]", flush=True)
