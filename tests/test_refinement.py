@@ -44,6 +44,62 @@ def test_prolong_conserves():
     np.testing.assert_allclose(np.asarray(back), np.asarray(q), atol=1e-14)
 
 
+def test_prolong_no_new_extrema_multid():
+    """Multi-D alpha limiter (custom_ops.hpp:120-158): every fine value
+    stays within [min, max] of its 3^d coarse neighborhood.
+
+    Note on uniform Cartesian grids this bound already follows from the
+    per-dimension minmod slopes (dqmax = sum_d |s_d|/4 <= (3/4) *
+    max_d |s_d| <= (3/4)(qmax - fc) whenever any slope is nonzero), so
+    alpha == 1 identically; the limiter is implemented for exact
+    reference parity and to keep the invariant explicit."""
+    rng = np.random.default_rng(7)
+    for dims in (2, 3):
+        shape = (2, 2) + (10,) * dims
+        q = np.where(rng.random(shape) > 0.5, 1.0, 0.0) \
+            + rng.random(shape)          # rough field, strong contrasts
+        fine = np.asarray(prolongate_minmod(jnp.asarray(q), dims=dims))
+        # neighborhood min/max on the coarse grid (cyclic, matching the
+        # operator's roll semantics), expanded to the fine grid
+        qmin, qmax = q.copy(), q.copy()
+        for ax in range(-dims, 0):
+            qmin = np.minimum(np.minimum(np.roll(qmin, -1, ax), qmin),
+                              np.roll(qmin, 1, ax))
+            qmax = np.maximum(np.maximum(np.roll(qmax, -1, ax), qmax),
+                              np.roll(qmax, 1, ax))
+        for ax in range(-dims, 0):
+            qmin = np.repeat(qmin, 2, axis=ax)
+            qmax = np.repeat(qmax, 2, axis=ax)
+        assert (fine <= qmax + 1e-12).all()
+        assert (fine >= qmin - 1e-12).all()
+
+
+def test_prolong_uniform_grid_alpha_invariant():
+    """Why alpha == 1 on uniform grids: dqmax = sum|s_d|/4 never
+    exceeds (qmax - fc) or (fc - qmin), because a nonzero minmod slope
+    forces BOTH one-sided neighbors at least |s_d| away from fc.
+    Verified on a random field over the full 3-D slope/neighborhood
+    pipeline."""
+    from athenapk_tpu.refinement.prolong_restrict import _minmod
+    rng = np.random.default_rng(3)
+    q = rng.random((1, 1, 6, 6, 6))
+    axes = [-1, -2, -3]
+    slopes = [np.asarray(_minmod(jnp.roll(q, -1, ax) - q,
+                                 q - np.roll(q, 1, ax))) for ax in axes]
+    dqmax = sum(np.abs(s) for s in slopes) / 4.0
+    qmin, qmax = q.copy(), q.copy()
+    for ax in axes:
+        qmin = np.minimum(np.minimum(np.roll(qmin, -1, ax), qmin),
+                          np.roll(qmin, 1, ax))
+        qmax = np.maximum(np.maximum(np.roll(qmax, -1, ax), qmax),
+                          np.roll(qmax, 1, ax))
+    nz = dqmax > 0
+    # the uniform-grid invariant that makes alpha == 1: dqmax never
+    # exceeds the neighborhood range on either side
+    assert (dqmax[nz] <= (qmax - q)[nz] + 1e-15).all()
+    assert (dqmax[nz] <= (q - qmin)[nz] + 1e-15).all()
+
+
 def test_maxdensity_tagging():
     from athenapk_tpu.core.mesh import Mesh
     mesh = Mesh(nx1=16, nx2=16, nx3=1, mbnx1=8, mbnx2=8, mbnx3=1,
