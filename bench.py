@@ -109,18 +109,22 @@ gamma = 1.666666666666667
     dt = float(dt)
     dt_hyp = float(dt_hyp)
     tlim = 1.0e9
+    log("bench: estimate done, warming up")
     for cyc in range(warmup):
         c_h = sim.pkg.c_h_from_dt_hyp(dt_hyp)
         sim.u, dts = sim.pkg.step_with_dt(sim.u, dt, c_h, sim.t)
         sim.t += dt
         dt = min(2.0 * dt, float(dts[0]))
         dt_hyp = float(dts[1])
+        log(f"bench: warm-up cycle {cyc + 1}/{warmup} done")
     counted = ncycles - warmup
     # compile the scan outside the timed region (advance_cycles donates
     # its input buffer, so warm up on a copy)
     out = sim.pkg.advance_cycles(jnp.copy(sim.u), sim.t, dt, dt_hyp, tlim,
                                  n_cycles=counted)
+    log("bench: advance_cycles dispatched (compile), waiting")
     out[0].block_until_ready()
+    log("bench: advance_cycles warm run complete; timing")
     sim.u.block_until_ready()
     t_start = time.time()
     u_f, t_f, _, _, taken = sim.pkg.advance_cycles(
@@ -303,20 +307,35 @@ def _tpu_alive(timeout):
 
 
 def _run_child(env_overrides, timeout):
-    """Run this script in inner mode; return the parsed JSON dict or None."""
+    """Run this script in inner mode; return the parsed JSON dict or None.
+
+    Child stdout/stderr stream to temp files so a TIMEOUT still leaves
+    the progress log readable (r4's v1-rung timeout discarded the
+    child's entire stderr — undiagnosable)."""
+    import tempfile
     env = dict(os.environ)
     env[_INNER] = "1"
     env.update(env_overrides)
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, timeout=timeout, capture_output=True,
-                           text=True)
-    except subprocess.TimeoutExpired:
-        log(f"bench child timed out after {timeout}s")
-        return None
-    for line in r.stderr.splitlines():
+    with tempfile.TemporaryFile(mode="w+") as fout, \
+            tempfile.TemporaryFile(mode="w+") as ferr:
+        timed_out = False
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=timeout, stdout=fout,
+                               stderr=ferr, text=True)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            log(f"bench child timed out after {timeout}s")
+            timed_out = True
+            rc = None
+        fout.seek(0)
+        ferr.seek(0)
+        stdout, stderr = fout.read(), ferr.read()
+    for line in stderr.splitlines():
         log("  child:", line)
-    for line in reversed(r.stdout.splitlines()):
+    if timed_out:
+        return None
+    for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
@@ -325,7 +344,7 @@ def _run_child(env_overrides, timeout):
                     return d
             except json.JSONDecodeError:
                 pass
-    log(f"bench child rc={r.returncode}, no JSON result")
+    log(f"bench child rc={rc}, no JSON result")
     return None
 
 
@@ -374,11 +393,17 @@ def main():
         time.sleep(wait)
         alive = _tpu_alive(probe_timeout)
 
+    # r4 post-mortem: the axon relay can stall a fresh client's FIRST
+    # device dispatch for 5+ minutes (socket-read wait on the tunnel;
+    # diagnosed via /proc + child progress logs) and then proceed
+    # normally — r4's v1 rung "timeout" was exactly this with a 300 s
+    # cap (the same child banked 2.44e8 zc/s in ~7 min when given
+    # room).  So: the PRODUCTION rung runs early with the largest cap,
+    # and gets one retry if it fails.
     rungs = [
-        ("tpu xla", {"BENCH_PALLAS": "0"}, 240),
-        ("tpu stage-fused", {"ATHENAPK_PALLAS_STAGE": "1"}, 420),
+        ("tpu xla", {"BENCH_PALLAS": "0"}, 200),
         ("tpu v1 lane-sweep (production default)",
-         {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 300),
+         {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 600),
         # refined-mesh rung (VERDICT r3 item 1): measured separately —
         # its value lands in the "smr" side-keys of the JSON line, never
         # competes with the headline keep-best
@@ -392,12 +417,19 @@ def main():
         ("tpu xla f64", {"BENCH_DTYPE": "float64", "BENCH_PALLAS": "0",
                          "BENCH_N": os.environ.get("BENCH_F64_N", "128"),
                          "BENCH_MB": os.environ.get("BENCH_F64_N", "128")},
-         420),
+         330),
+        # A/B rung: whole-stage fused kernel (measured slower than v1
+        # on this VPU-bound workload; least important, runs last)
+        ("tpu stage-fused", {"ATHENAPK_PALLAS_STAGE": "1"}, 300),
     ]
     result = None
     smr_result = None
     f64_result = None
-    for note, env, cap in rungs:
+    retried = set()
+    i = 0
+    while i < len(rungs):
+        note, env, cap = rungs[i]
+        i += 1
         if not alive:
             break
         t_child = min(cap, remaining() - cpu_reserve)
@@ -417,6 +449,11 @@ def main():
                 result = r
         else:
             log(f"rung '{note}' failed")
+            if "production" in note and note not in retried \
+                    and remaining() - cpu_reserve > cap + 90:
+                log(f"retrying production rung '{note}'")
+                retried.add(note)
+                i -= 1
         alive = _tpu_alive(min(probe_timeout, max(10, remaining()
                                                   - cpu_reserve)))
     if result is not None and smr_result is not None:
