@@ -558,8 +558,8 @@ def _pick_pack_lanes(NX, NY, nvar, h, nb):
         return (k * NX) / _pad_lane(k * NX) * nb / nbp
 
     def fits(k):
-        return (8 * nvar * (1 + 2 * h) * _pad_sub(ty + 2 * h)
-                * _pad_lane(k * NX) * 4 <= _VMEM_BUDGET)
+        return _slab_bytes(nvar, 1 + 2 * h, ty + 2 * h,
+                           k * NX) <= _VMEM_BUDGET
 
     best, best_s = 1, score(1)
     for k in range(2, min(nb, 16) + 1):
@@ -823,6 +823,18 @@ def _pad_sub(n: int) -> int:
     return -(-n // 8) * 8
 
 
+def _slab_bytes(nvar: int, tlead: int, tsub: int, nlanes: int,
+                itemsize: int = 4) -> int:
+    """PADDED VMEM footprint of the ~8 live kernel slabs of logical
+    shape (nvar, tlead, tsub, nlanes): lane dim padded to the 128
+    quantum, sublane to 8 (Mosaic's tiling quanta).  The single
+    estimator shared by every tile fitter AND pack picker, so a pack
+    decision can never be more optimistic than the tile fit that
+    follows it (an optimistic pick that only faults at Mosaic lowering
+    wedges the TPU tunnel on this environment)."""
+    return 8 * nvar * tlead * _pad_sub(tsub) * _pad_lane(nlanes) * itemsize
+
+
 def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
             itemsize: int = 4) -> int:
     """Pick the z tile (a LEADING block dim — unconstrained by Mosaic)
@@ -839,8 +851,7 @@ def _fit_tz(NZ: int, want: int, ty: int, NX: int, nvar: int, h: int,
     that scoped-VMEM-OOM'd at Mosaic lowering (seen on device at
     mb=32 g=3)."""
     def est(t):
-        return (8 * nvar * (t + 2 * h) * _pad_sub(ty + 2 * h)
-                * _pad_lane(NX) * itemsize)
+        return _slab_bytes(nvar, t + 2 * h, ty + 2 * h, NX, itemsize)
 
     divs = [t for t in range(1, NZ + 1) if NZ % t == 0]
     fit = [t for t in divs if est(t) <= _VMEM_BUDGET]
@@ -863,8 +874,7 @@ def _fit_lead(extent: int, want: int, ty: int, nlanes: int,
     layouts where ty is the full extent (advisor r3 finding 1).
     Padded footprint, like ``_fit_tz``."""
     def est(t):
-        return (8 * nvar * t * _pad_sub(ty) * _pad_lane(nlanes)
-                * itemsize)
+        return _slab_bytes(nvar, t, ty, nlanes, itemsize)
 
     best = 1
     for t in range(1, min(want, extent) + 1):
@@ -936,8 +946,10 @@ def _pick_pack(nblocks: int, lane_ext: int, nvar: int,
     wrap garbage of the unpacked kernel.
 
     Returns the smallest k that divides nblocks, makes k*lane_ext a
-    128 multiple, and fits the VMEM budget at the minimal (1, 8) tile;
-    1 when packing is impossible or pointless."""
+    128 multiple, and fits the VMEM budget at the minimal (1, 8) tile
+    (the PADDED ``_slab_bytes`` footprint — the same accounting the
+    tile fitters use, so the pick can never out-promise them); 1 when
+    packing is impossible or pointless."""
     import os as _o
     if _o.environ.get("ATHENAPK_PALLAS_PACK", "1") != "1":
         return 1
@@ -946,7 +958,7 @@ def _pick_pack(nblocks: int, lane_ext: int, nvar: int,
     for k in range(2, nblocks + 1):
         if nblocks % k or (k * lane_ext) % 128:
             continue
-        if 8 * nvar * 8 * (k * lane_ext) * itemsize > _VMEM_BUDGET:
+        if _slab_bytes(nvar, 1, 8, k * lane_ext, itemsize) > _VMEM_BUDGET:
             break
         return k
     return 1
@@ -981,7 +993,7 @@ def make_fused_negdiv(mesh, cfg, eos, positivity_mask, recon: str,
             tsub = 8
             for t in range(min(ty, sub_p), 7, -1):
                 if sub_p % t == 0 and t % 8 == 0 and \
-                        8 * nvar * t * lanes * 4 <= _VMEM_BUDGET:
+                        _slab_bytes(nvar, 1, t, lanes) <= _VMEM_BUDGET:
                     tsub = t
                     break
             tlead = _fit_lead(lead_ext, _pick_tile(lead_ext, tz), tsub,

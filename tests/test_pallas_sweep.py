@@ -696,3 +696,47 @@ def test_hybrid_dc_stage_matches_xla(monkeypatch):
         assert rel < 1e-5, f"{tag} deviates: rel={rel:.2e}"
     rel = np.abs(got_h - got_v1).max() / np.abs(got_v1).max()
     assert rel < 1e-5, f"hybrid/v1 deviates: rel={rel:.2e}"
+
+
+def test_pack_and_tile_decisions_pinned():
+    """Pin the pack/tile decisions for the geometries that matter
+    (VERDICT r4 items 1+9): the BENCH production rung (256^3 ghost-free
+    single block) must stay unpacked k=1, and the shared padded-
+    footprint estimator must make `_pick_pack`/`_pick_pack_lanes` agree
+    with the tile fitters over the r4 on-device validation geometries
+    (docs/tpu_kernel_validation_r4.log) — a pack pick that only faults
+    at Mosaic lowering wedges the TPU tunnel for an hour."""
+    from athenapk_tpu.solver.pallas_sweep import (
+        _VMEM_BUDGET, _fit_lead, _fit_tz, _pick_pack, _pick_pack_lanes,
+        _slab_bytes)
+
+    # bench geometry: one 256^3 ghost-free block, glmmhd nvar=9
+    assert _pick_pack(1, 256, 9) == 1
+    # lane-packed multi-block test geometry (mb=8 g=2 -> 12, 64 blocks)
+    assert _pick_pack(64, 12, 5) == 32
+    # AMR-class ghosted row 64^3 g=3 -> lane_ext 70: the only exact k
+    # is 64 (35k = 0 mod 64), which FITS the padded minimal-tile budget
+    # (9.8 MB < 20 MB) -> one packed row of 4480 lanes
+    assert _pick_pack(64, 70, 9) == 64
+    assert _slab_bytes(9, 1, 8, 64 * 70) <= _VMEM_BUDGET
+    # 128^3 g=3 -> 134 with 8 blocks: no exact k divides 8 -> unpacked
+    assert _pick_pack(8, 134, 9) == 1
+    # stage+faces bench row mb=32 g=2 -> 36: scored (non-exact) packing
+    k = _pick_pack_lanes(36, 36, 9, 2, 64)
+    assert k >= 2
+    # every pick must satisfy the SAME padded budget the tile fitters
+    # enforce, at the minimal tiles each code path uses
+    assert _slab_bytes(5, 1, 8, 32 * 12) <= _VMEM_BUDGET
+    assert _slab_bytes(9, 1 + 2 * 2, 8 + 2 * 2, k * 36) <= _VMEM_BUDGET
+    # and the tile fitters must find SOME tile at those widths
+    assert _fit_lead(8, 1, 8, 32 * 12, 5) >= 1
+    assert _fit_tz(36, 8, 8, k * 36, 9, 2) >= 1
+    # r4 validation geometries: stage+faces 16^3 g=2 (plm, h=2) and
+    # 32^3 g=3 (ppm, h=3) — fitters must return valid divisors
+    for mb, g, h in ((16, 2, 2), (32, 3, 3)):
+        ext = mb + 2 * g
+        kk = _pick_pack_lanes(ext, ext, 9, h, 8)
+        tz = _fit_tz(ext, 8, 8, kk * ext, 9, h)
+        assert ext % tz == 0
+        assert _slab_bytes(9, tz + 2 * h, 8 + 2 * h,
+                           kk * ext) <= _VMEM_BUDGET
