@@ -27,11 +27,15 @@ import bench                                              # noqa: E402
 
 GRID = "/root/repo/performance_grid.json"
 
+mbs = [int(x) for x in os.environ.get("SMR_GRID_MBS",
+                                      "32,64,16").split(",")]
 rows = json.load(open(GRID))
-rows = [r for r in rows if r.get("mesh") != "refined"]
+# drop ONLY the refined rows being re-measured — a single-mb run must
+# not destroy the rest of the sweep (advisor r4 finding 1)
+rows = [r for r in rows
+        if r.get("mesh") != "refined" or r.get("meshblock") not in mbs]
 
-for mb in (int(x) for x in os.environ.get("SMR_GRID_MBS",
-                                          "32,64,16").split(",")):
+for mb in mbs:
     # 32 first (bench default — step graph usually in .jax_cache), 16
     # LAST: its 960-leaf composed graph is the slowest remote compile
     # by far, and a wedge there must not cost the other rows.
@@ -50,5 +54,7 @@ for mb in (int(x) for x in os.environ.get("SMR_GRID_MBS",
         "geometry": desc,
         "zone_cycles_per_s": zcps,
     })
-    json.dump(rows, open(GRID, "w"), indent=1)
+    with open(GRID, "w") as f:
+        json.dump(rows, f, indent=1)
+        f.write("\n")      # match performance_grid.py's terminator
     print("grid updated", flush=True)
