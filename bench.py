@@ -134,8 +134,10 @@ gamma = 1.666666666666667
     sim.u = u_f
     assert int(taken) == counted
     desc = f"{sim.mesh.nx1}x{sim.mesh.nx2}x{sim.mesh.nx3}"
-    if ghostfree:
+    if sim.mesh.nghost == 0:
         desc += " ghost-free"
+    if not ghostfree and sim.mesh.nblocks == 1:
+        desc += " merged"        # single-chip block merge fired
     if pallas:
         desc += " fused-sweep"
     return zones * counted / wall, wall, counted, desc

@@ -50,7 +50,7 @@ MHD_COMBOS = [
 
 
 def run_one(fluid, integ, recon, riemann, n, dtype, ncycles=10, warmup=2,
-            mb=None):
+            mb=None, merge="auto"):
     import time
 
     import jax.numpy as jnp
@@ -110,7 +110,9 @@ gamma = 1.666666666666667
         deck = deck.replace("problem_id = linear_wave_mhd",
                             "problem_id = linear_wave")
     pin = ParameterInput.from_string(deck)
+    pin.apply_overrides([f"parthenon/mesh/merge_blocks={merge}"])
     sim = Simulation(pin, quiet=True)
+    merged = mb != n and sim.mesh.nblocks == 1
     if dtype != "float64":
         sim.u = sim.u.astype(jnp.dtype(dtype))
     zones = sim.mesh.nx1 * sim.mesh.nx2 * sim.mesh.nx3
@@ -141,7 +143,7 @@ gamma = 1.666666666666667
             f"scan stopped early: taken={int(taken)}/{counted}, "
             f"dt={float(dt_f):.3e}, "
             f"finite={bool(jnp.isfinite(u_f).all())}")
-    return zones * counted / wall
+    return zones * counted / wall, merged
 
 
 def main():
@@ -152,36 +154,63 @@ def main():
     ap.add_argument("--mb-sweep", action="store_true",
                     help="also sweep meshblock sizes {64,128,256} on the "
                          "headline combo (reference performance.py:33-40)")
+    ap.add_argument("--mb-only", action="store_true",
+                    help="re-measure ONLY the meshblock-sweep rows, "
+                         "merging into the existing performance_grid.json "
+                         "(keeps the 12 method rows and the refined rows)")
     args = ap.parse_args()
+    if args.mb_only:
+        args.mb_sweep = True
 
     fused = (args.dtype == "float32"
              and os.environ.get("ATHENAPK_PALLAS_SWEEP") != "0"
              and jax.default_backend() == "tpu")
-    combos = [(f, i, r, rs, None) for f, i, r, rs
-              in HYDRO_COMBOS + MHD_COMBOS]
+    combos = [] if args.mb_only else [
+        (f, i, r, rs, None, "auto") for f, i, r, rs
+        in HYDRO_COMBOS + MHD_COMBOS]
     if args.quick:
         combos = combos[1:2] + combos[-1:]
     if args.mb_sweep:
-        combos += [("glmmhd", "vl2", "ppm", "hlld", mb)
-                   for mb in (64, 128, 256) if mb != args.n]
+        # production rows (auto-merge: single-chip uniform meshes solve
+        # as one mesh-spanning block regardless of meshblock size) PLUS
+        # unmerged diagnostic rows that keep the blocked-layout numbers
+        # comparable with the reference's per-meshblock sweep
+        for mb in (64, 128, 256):
+            if mb != args.n:
+                combos += [("glmmhd", "vl2", "ppm", "hlld", mb, "auto"),
+                           ("glmmhd", "vl2", "ppm", "hlld", mb, "false")]
     results = []
-    for fluid, integ, recon, riemann, mb in combos:
+    for fluid, integ, recon, riemann, mb, merge in combos:
         try:
-            zcps = run_one(fluid, integ, recon, riemann, args.n,
-                           args.dtype, mb=mb)
+            zcps, merged = run_one(fluid, integ, recon, riemann, args.n,
+                                   args.dtype, mb=mb, merge=merge)
             print(f"{fluid:7s} {integ:4s} {recon:6s} {riemann:5s} "
-                  f"mb={mb or args.n:4d}: {zcps:.4e} zone-cycles/s",
-                  flush=True)
-            results.append(dict(fluid=fluid, integrator=integ,
-                                reconstruction=recon, riemann=riemann,
-                                meshblock=mb or args.n,
-                                dtype=args.dtype, fused=fused,
-                                zone_cycles_per_s=zcps))
+                  f"mb={mb or args.n:4d}"
+                  f"{' merged' if merged else '':7s}: "
+                  f"{zcps:.4e} zone-cycles/s", flush=True)
+            row = dict(fluid=fluid, integrator=integ,
+                       reconstruction=recon, riemann=riemann,
+                       meshblock=mb or args.n,
+                       dtype=args.dtype, fused=fused,
+                       zone_cycles_per_s=zcps)
+            if mb is not None and mb != args.n:
+                row["merged"] = merged
+            results.append(row)
         except Exception as e:  # noqa: BLE001
             print(f"{fluid} {integ} {recon} {riemann} mb={mb}: "
                   f"FAILED {e}", flush=True)
-    with open("performance_grid.json", "w") as fh:
+    grid = "performance_grid.json"
+    if args.mb_only and os.path.exists(grid):
+        # merge: keep every existing row this run did not re-measure
+        new_keys = {(r["meshblock"], r.get("merged")) for r in results}
+        old = [r for r in json.load(open(grid))
+               if r.get("mesh") == "refined"
+               or r["meshblock"] == args.n
+               or (r["meshblock"], r.get("merged")) not in new_keys]
+        results = old + results
+    with open(grid, "w") as fh:
         json.dump(results, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,133 @@
+"""Single-chip block merging (`Simulation._merge_blocks`).
+
+On one device a uniform mesh solves as ONE mesh-spanning block —
+ghost-free when all-periodic — removing the inter-block ghost copies
+and the per-block lane-padding tax (the reference decomposes only for
+MPI-rank granularity, ``src/hydro/hydro.cpp:270-271``; a single XLA
+device wants the whole pack).  The merged run must be *numerically
+identical* on interiors to the blocked run, and the merge must never
+fire when the decomposition is load-bearing (multi-device sharding,
+custom boundary hooks, checkpoint layouts).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from athenapk_tpu.config.parameter_input import ParameterInput
+from athenapk_tpu.driver import Simulation
+
+DECK = """
+<job>
+problem_id = linear_wave_mhd
+
+<problem/linear_wave>
+compute_error = false
+wave_flag = 0
+amp = 1.0e-3
+vflow = 0.0
+
+<parthenon/mesh>
+nghost = 3
+nx1 = 32
+x1min = 0.0
+x1max = 3.0
+nx2 = 16
+x2min = 0.0
+x2max = 1.5
+nx3 = 16
+x3min = 0.0
+x3max = 1.5
+
+<parthenon/meshblock>
+nx1 = 16
+nx2 = 8
+nx3 = 8
+
+<parthenon/time>
+integrator = vl2
+cfl = 0.3
+tlim = 0.03
+nlim = 3
+ncycle_out = 0
+
+<hydro>
+fluid = glmmhd
+eos = adiabatic
+riemann = hlld
+reconstruction = ppm
+gamma = 1.666666666666667
+"""
+
+
+def _global_interior(sim):
+    m = sim.mesh
+    u = np.asarray(sim.u)
+    g1, g2, g3 = m.ng1, m.ng2, m.ng3
+    ui = u[:, :,
+           g3:u.shape[2] - g3 or None,
+           g2:u.shape[3] - g2 or None,
+           g1:u.shape[4] - g1 or None]
+    nvar = ui.shape[1]
+    gl = ui.reshape(m.nb3, m.nb2, m.nb1, nvar, m.mbnx3, m.mbnx2, m.mbnx1)
+    return gl.transpose(3, 0, 4, 1, 5, 2, 6).reshape(
+        nvar, m.nx3, m.nx2, m.nx1)
+
+
+def _run(merge):
+    pin = ParameterInput.from_string(DECK)
+    pin.apply_overrides([f"parthenon/mesh/merge_blocks={merge}"])
+    sim = Simulation(pin, quiet=True)
+    sim.run()
+    return sim
+
+
+def test_merged_bitwise_matches_blocked():
+    """Merged ghost-free layout == blocked ghosted layout on every
+    interior cell (the ghost-fill contract makes ghost values equal
+    rolled interiors EXACTLY, so the whole cycle loop is FP-identical)."""
+    blocked = _run("false")
+    merged = _run("true")
+    assert blocked.mesh.nblocks == 8 and blocked.mesh.nghost == 3
+    assert merged.mesh.nblocks == 1 and merged.mesh.nghost == 0
+    np.testing.assert_array_equal(_global_interior(blocked),
+                                  _global_interior(merged))
+    assert blocked.t == merged.t
+
+
+def test_merge_auto_off_multidevice():
+    """conftest forces 8 virtual devices, so auto must keep the
+    decomposition (the sharded path needs the block axis)."""
+    pin = ParameterInput.from_string(DECK)
+    sim = Simulation(pin, quiet=True)
+    assert sim.mesh.nblocks == 8 and sim.mesh.nghost == 3
+
+
+def test_merge_keeps_ghosts_non_periodic():
+    """Non-periodic boundaries keep the ghost rim (merge only fuses the
+    blocks); the domain BC fill still applies."""
+    pin = ParameterInput.from_string(DECK)
+    pin.apply_overrides(["parthenon/mesh/merge_blocks=true",
+                         "parthenon/mesh/ix1_bc=outflow",
+                         "parthenon/mesh/ox1_bc=outflow"])
+    sim = Simulation(pin, quiet=True)
+    assert sim.mesh.nblocks == 1 and sim.mesh.nghost == 3
+
+
+def test_merge_skipped_for_foreign_restart_layout():
+    """A checkpoint written in a blocked layout resumes in that layout
+    (bit-exact resume beats speed)."""
+    from athenapk_tpu.core.mesh import Mesh
+    pin = ParameterInput.from_string(DECK)
+    pin.apply_overrides(["parthenon/mesh/merge_blocks=true"])
+    mesh = Mesh.from_parameter_input(pin)
+    payload = {"cons": np.zeros((mesh.nblocks, 9) + mesh.block_shape)}
+    out = Simulation._merge_blocks(pin, mesh, payload)
+    assert out is mesh
+
+
+def test_merge_rejects_bad_mode():
+    pin = ParameterInput.from_string(DECK)
+    pin.apply_overrides(["parthenon/mesh/merge_blocks=sometimes"])
+    with pytest.raises(ValueError, match="merge_blocks"):
+        Simulation(pin, quiet=True)
