@@ -547,6 +547,7 @@ class SmrSimulation:
                            * self.smesh.base.mbnx3)
         t0 = time.time()
         zone_cycles = 0
+        n_remesh = 0
         self._write_hst(0.0)
         self._write_hdf5(0.0)
         def print_mesh():
@@ -562,6 +563,7 @@ class SmrSimulation:
                                       or self.ncycle < self.nlim):
             if self.adaptive:
                 self.state, changed = self.driver.maybe_remesh(self.state)
+                n_remesh += bool(changed)
                 if changed and self.ncycle_out_mesh < 0 and not self.quiet:
                     print_mesh()
                 if changed and self.tracer_state is not None:
@@ -682,6 +684,11 @@ class SmrSimulation:
             self._write_hdf5(dt)
             self._write_rst()
         wall = time.time() - t0
+        # exposed for benchmarking (zone counts vary per cycle on
+        # adaptive meshes, so only the loop itself can total them)
+        self.perf_zone_cycles = zone_cycles
+        self.perf_wall = wall
+        self.perf_remeshes = n_remesh
         if not self.quiet and zone_cycles:
             print(f"zone-cycles/wallsecond = {zone_cycles / wall:.6e}",
                   flush=True)

@@ -284,12 +284,6 @@ def problem_generator_smr(pin, smesh, cfg, eos):
     import types
     pkg = _pkg(pin)
     base = smesh.base
-    ip = "problem/cluster/init_perturb"
-    if (pin.get_or_add_real(ip, "sigma_v", 0.0) != 0.0
-            or pin.get_or_add_real(ip, "sigma_b", 0.0) != 0.0):
-        raise NotImplementedError(
-            "init_perturb is supported on uniform meshes only (the "
-            "few-modes phase tables are uniform-grid)")
     profile = None
     if not pin.get_or_add_bool("problem/cluster/uniform_gas",
                                "init_uniform_gas", False):
@@ -312,7 +306,106 @@ def problem_generator_smr(pin, smesh, cfg, eos):
             zs[li] = np.broadcast_to(z, bs)
         state[lev] = jnp.asarray(_init_cons(
             pin, pkg, cfg, xs, ys, zs, min(smesh.dx(lev)), profile=profile))
-    return state
+    return _apply_init_perturb_smr(pin, smesh, cfg, state)
+
+
+def _apply_init_perturb_smr(pin, smesh, cfg, state):
+    """``cluster.cpp:377-461`` perturbations on a refined mesh: the
+    SAME few-modes realization as the uniform path (shared OU spectrum
+    + ``FewModesFTSmr`` cross-level phase tables — a level-l leaf
+    samples the identical continuous modes at its own cell positions),
+    normalized by the volume-weighted rms over ALL leaves.  A
+    fully-refined mesh reproduces the uniform-at-2x field
+    (``tests/test_cluster_smr.py``)."""
+    ip = "problem/cluster/init_perturb"
+    sigma_v = pin.get_or_add_real(ip, "sigma_v", 0.0)
+    sigma_b = pin.get_or_add_real(ip, "sigma_b", 0.0)
+    if sigma_v == 0.0 and sigma_b == 0.0:
+        return state
+    from ...utils.few_modes_ft import FewModesFTSmr, make_random_modes
+    base = smesh.base
+    ks, ke, js, je, is_, ie = base.interior
+    sl = (slice(ks, ke + 1), slice(js, je + 1), slice(is_, ie + 1))
+    lxyz = ((base.x1max - base.x1min) * (base.x2max - base.x2min)
+            * (base.x3max - base.x3min))
+
+    def vol(lev):
+        d1, d2, d3 = smesh.dx(lev)
+        return d1 * d2 * d3
+
+    out = {lev: np.array(u) for lev, u in state.items()}
+
+    if sigma_v != 0.0:
+        k_peak = _perturb_scale(pin, ip, "v")
+        n_modes = pin.get_or_add_integer(ip, "num_modes_v", 40)
+        sol_w = pin.get_or_add_real(ip, "sol_weight_v", 1.0)
+        rseed = pin.get_or_add_integer(ip, "rseed_v", 1)
+        fm = FewModesFTSmr(smesh, n_modes,
+                           make_random_modes(n_modes, k_peak, rseed),
+                           k_peak, sol_w, 1e-10, rseed)
+        v = {lev: np.asarray(a) for lev, a in fm.generate(1.0).items()}
+        v2_sum = sum(float((a ** 2).sum()) * vol(lev)
+                     for lev, a in sorted(v.items()))
+        v_norm = math.sqrt(v2_sum / lxyz / sigma_v ** 2)
+        for lev, u in out.items():
+            mom = u[:, IM1:IM3 + 1][(slice(None), slice(None)) + sl]
+            if np.any(mom != 0.0):
+                raise ValueError("init_perturb sigma_v requires zero "
+                                 "initial velocity (cluster.cpp:699)")
+            rho = u[:, IDN][(slice(None),) + sl]
+            ke_ = np.zeros_like(rho)
+            for n, c in enumerate((IM1, IM2, IM3)):
+                u[:, c][(slice(None),) + sl] = rho * v[lev][n] / v_norm
+                ke_ += u[:, c][(slice(None),) + sl] ** 2
+            u[:, IEN][(slice(None),) + sl] += 0.5 * ke_ / rho
+
+    if sigma_b != 0.0:
+        if cfg.fluid != GLMMHD:
+            raise ValueError("init_perturb sigma_b requires fluid=glmmhd")
+        k_peak = _perturb_scale(pin, ip, "b")
+        n_modes = pin.get_or_add_integer(ip, "num_modes_b", 40)
+        rseed = pin.get_or_add_integer(ip, "rseed_b", 2)
+        # ghost=1: analytic phases on the 1-cell-extended index range so
+        # the curl's central differences are valid on every interior
+        # cell (the SMR analog of the uniform fill_ghosts=True)
+        fm = FewModesFTSmr(smesh, n_modes,
+                           make_random_modes(n_modes, k_peak, rseed),
+                           k_peak, 1.0, 1e-10, rseed, ghost=1)
+        a = {lev: np.asarray(q) for lev, q in fm.generate(1.0).items()}
+        b = {}
+        b2_sum = 0.0
+        for lev, q in sorted(a.items()):
+            dx1, dx2, dx3 = smesh.dx(lev)
+
+            def d(comp, axis):
+                # central difference of ghost(1)-extended A along axis
+                lo = [slice(1, -1)] * 3
+                hi = [slice(1, -1)] * 3
+                ax = {3: 1, 2: 2, 1: 3}[axis]
+                lo[ax - 1] = slice(0, -2)
+                hi[ax - 1] = slice(2, None)
+                dxa = (dx1, dx2, dx3)[axis - 1]
+                return (q[(comp,) + (slice(None),) + tuple(hi)]
+                        - q[(comp,) + (slice(None),) + tuple(lo)]) \
+                    / (2.0 * dxa)
+
+            b1 = d(2, 2) - d(1, 3)     # dAz/dy - dAy/dz
+            b2 = d(0, 3) - d(2, 1)     # dAx/dz - dAz/dx
+            b3 = d(1, 1) - d(0, 2)     # dAy/dx - dAx/dy
+            b[lev] = (b1, b2, b3)
+            b2_sum += float((b1 ** 2 + b2 ** 2 + b3 ** 2).sum()) * vol(lev)
+        b_norm = math.sqrt(b2_sum / lxyz / sigma_b ** 2)
+        for lev, u in out.items():
+            bexist = u[:, IB1:IB3 + 1][(slice(None), slice(None)) + sl]
+            if np.any(bexist != 0.0):
+                raise ValueError("init_perturb sigma_b requires zero "
+                                 "initial B (cluster.cpp:766)")
+            b1, b2, b3 = b[lev]
+            for c, bb in ((IB1, b1), (IB2, b2), (IB3, b3)):
+                u[:, c][(slice(None),) + sl] = bb / b_norm
+            u[:, IEN][(slice(None),) + sl] += 0.5 * (
+                b1 ** 2 + b2 ** 2 + b3 ** 2) / b_norm ** 2
+    return {lev: jnp.asarray(u) for lev, u in out.items()}
 
 
 def _interior_mask(mesh):

@@ -48,6 +48,38 @@ def particle_fields(state):
     return [k for k, v in state.items() if jnp.ndim(v) >= 2]
 
 
+def scatter_pool(fields, key, nb, cap):
+    """Route a flat particle pool into per-block fixed-capacity slots.
+
+    ``fields``: {name: [n, ...]} flattened particle data; ``key``: [n]
+    destination block index in [0, nb] (nb = inactive sentinel, sorts
+    last).  Stable sort by key, then masked scatter into [nb, cap, ...];
+    per-block overflow beyond ``cap`` is dropped.  Returns
+    ({name: [nb, cap, ...]}, n_overflow).  This is the TPU swarm-routing
+    primitive shared by the single-device migrate (pool n = nb*cap) and
+    the sharded migrate (pool extended by the ppermute'd transfer
+    buffers)."""
+    n = key.shape[0]
+    key_s, perm = jax.lax.sort([key, jnp.arange(n, dtype=jnp.int32)],
+                               num_keys=1, is_stable=True)
+    counts = jnp.bincount(key, length=nb + 1)
+    starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                              jnp.cumsum(counts)[:-1]])
+    slot = jnp.arange(n) - starts[key_s]
+    valid = (key_s < nb) & (slot < cap)
+    dest = jnp.where(valid, key_s * cap + slot, nb * cap)  # OOB = dropped
+    out = {}
+    for name, q in fields.items():
+        qp = q[perm]
+        if name == "active":
+            qp = valid
+        out[name] = (jnp.zeros((nb * cap,) + q.shape[1:], q.dtype)
+                     .at[dest].set(qp, mode="drop")
+                     .reshape((nb, cap) + q.shape[1:]))
+    n_overflow = (jnp.sum(key_s < nb) - jnp.sum(valid)).astype(jnp.int32)
+    return out, n_overflow
+
+
 class Tracers:
     def __init__(self, pin, mesh, cfg, extra_fields=None):
         self.enabled = pin.get_or_add_bool("tracers", "enabled", False)
@@ -141,19 +173,23 @@ class Tracers:
         return state
 
     # ---------------------------------------------------------------- interp
-    def _interp(self, prim, comp, x, y, z):
+    def _interp(self, prim, comp, x, y, z, origins=None):
         """Block-local trilinear interpolation among cell centers.
 
         ``x/y/z`` are ``[nb, cap]`` positions owned by block ``b``; the
         stencil reads the block's ghost-inclusive array only (ghosts are
         filled every stage, so stencils that cross the block edge see the
         neighbor copy — same contract as the reference's LCInterp on a
-        ghosted pack)."""
+        ghosted pack).  ``origins``: optional (bx0, by0, bz0) arrays for
+        the rows of ``prim`` — the sharded path passes its local shard's
+        block origins (prim then holds only the local blocks)."""
         mesh = self.mesh
+        bx0, by0, bz0 = origins if origins is not None else (
+            self._bx0, self._by0, self._bz0)
         field = prim[:, comp]                      # [nb, NZ, NY, NX]
-        fx = (x - self._bx0[:, None]) / mesh.dx1 + (mesh.ng1 - 0.5)
-        fy = (y - self._by0[:, None]) / mesh.dx2 + (mesh.ng2 - 0.5)
-        fz = (z - self._bz0[:, None]) / mesh.dx3 + (mesh.ng3 - 0.5)
+        fx = (x - bx0[:, None]) / mesh.dx1 + (mesh.ng1 - 0.5)
+        fy = (y - by0[:, None]) / mesh.dx2 + (mesh.ng2 - 0.5)
+        fz = (z - bz0[:, None]) / mesh.dx3 + (mesh.ng3 - 0.5)
         i0f = jnp.floor(fx)
         j0f = jnp.floor(fy)
         k0f = jnp.floor(fz)
@@ -176,7 +212,7 @@ class Tracers:
             i1 = i0 + 1
             j1 = j0 + 1
             k1 = k0 + 1
-        b = jnp.arange(mesh.nblocks, dtype=jnp.int32)[:, None]
+        b = jnp.arange(prim.shape[0], dtype=jnp.int32)[:, None]
         out = 0.0
         for kk, wk in ((k0, 1 - wz), (k1, wz)):
             for jj, wj in ((j0, 1 - wy), (j1, wy)):
@@ -226,9 +262,9 @@ class Tracers:
     def _migrate(self, state):
         """Route particles to their owner blocks: stable sort of the
         flattened pool by destination gid, then scatter into per-block
-        slots.  Inactive particles carry the sentinel key ``nblocks`` and
-        sort to the end; per-block overflow beyond ``cap`` is dropped and
-        counted."""
+        slots (``scatter_pool``).  Inactive particles carry the sentinel
+        key ``nblocks`` and sort to the end; per-block overflow beyond
+        ``cap`` is dropped and counted."""
         mesh = self.mesh
         nb = mesh.nblocks
         if nb == 1:
@@ -237,48 +273,33 @@ class Tracers:
         n = nb * cap
         gid = self._dest_gid(state)
         key = jnp.where(state["active"], gid, nb).reshape(n).astype(jnp.int32)
-
-        # sort a permutation, then gather every particle field through it
-        # (fields may carry trailing dims, e.g. lookback vectors)
-        key_s, perm = jax.lax.sort([key, jnp.arange(n, dtype=jnp.int32)],
-                                   num_keys=1, is_stable=True)
-        counts = jnp.bincount(key, length=nb + 1)
-        starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
-                                  jnp.cumsum(counts)[:-1]])
-        slot = jnp.arange(n) - starts[key_s]
-        valid = (key_s < nb) & (slot < cap)
-        dest = jnp.where(valid, key_s * cap + slot, n)  # n = out of range
-
+        fields = {name: state[name].reshape((n,) + state[name].shape[2:])
+                  for name in particle_fields(state)}
+        routed, n_overflow = scatter_pool(fields, key, nb, cap)
         out = dict(state)
-        for name in particle_fields(state):
-            q = state[name].reshape((n,) + state[name].shape[2:])[perm]
-            if name == "active":
-                q = valid
-            out[name] = (jnp.zeros(q.shape, q.dtype).at[dest]
-                         .set(q, mode="drop")
-                         .reshape((nb, cap) + q.shape[1:]))
-        n_overflow = (jnp.sum(key_s < nb) - jnp.sum(valid)).astype(jnp.int32)
+        out.update(routed)
         out["n_lost"] = state["n_lost"] + n_overflow
         return out
 
     # ---------------------------------------------------------------- advect
-    def _advect_impl(self, state, prim, dt):
+    def _advect_impl(self, state, prim, dt, origins=None, migrate=None):
         """Heun: predictor uses the stored (last-filled) tracer velocity,
         corrector re-samples at the predicted position; then domain BCs
-        and block migration."""
+        and block migration.  ``origins``/``migrate`` parameterize the
+        sharded path (local block origins + ppermute routing)."""
         x, y, z = state["x"], state["y"], state["z"]
         x_s = x + dt * state["vel_x"]
         y_s = y + dt * state["vel_y"]
         z_s = z + dt * state["vel_z"]
-        vx_s = self._interp(prim, IV1, x_s, y_s, z_s)
-        vy_s = self._interp(prim, IV2, x_s, y_s, z_s)
-        vz_s = self._interp(prim, IV3, x_s, y_s, z_s)
+        vx_s = self._interp(prim, IV1, x_s, y_s, z_s, origins)
+        vy_s = self._interp(prim, IV2, x_s, y_s, z_s, origins)
+        vz_s = self._interp(prim, IV3, x_s, y_s, z_s, origins)
         state = dict(state)
         state["x"] = x + dt * 0.5 * (state["vel_x"] + vx_s)
         state["y"] = y + dt * 0.5 * (state["vel_y"] + vy_s)
         state["z"] = z + dt * 0.5 * (state["vel_z"] + vz_s)
         state = self._apply_domain_bcs(state)
-        return self._migrate(state)
+        return (migrate or self._migrate)(state)
 
     def advect(self, state, prim, dt):
         if state is None:
@@ -286,7 +307,7 @@ class Tracers:
         return self._advect(state, prim, jnp.asarray(dt))
 
     # ------------------------------------------------------------------ fill
-    def _fill_impl(self, state, prim):
+    def _fill_impl(self, state, prim, origins=None):
         comps = dict(vel_x=IV1, vel_y=IV2, vel_z=IV3, rho=IDN, pressure=IPR)
         if self.mhd:
             comps.update(B_x=IB1, B_y=IB2, B_z=IB3)
@@ -294,7 +315,8 @@ class Tracers:
         x, y, z = state["x"], state["y"], state["z"]
         act = state["active"]
         for name, c in comps.items():
-            state[name] = jnp.where(act, self._interp(prim, c, x, y, z), 0.0)
+            state[name] = jnp.where(
+                act, self._interp(prim, c, x, y, z, origins), 0.0)
         return state
 
     def fill(self, state, prim):

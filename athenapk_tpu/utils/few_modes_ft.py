@@ -160,7 +160,8 @@ class FewModesFTSmr:
     """
 
     def __init__(self, smesh, num_modes: int, k_vec, k_peak: float,
-                 sol_weight: float, t_corr: float, rseed: int):
+                 sol_weight: float, t_corr: float, rseed: int,
+                 ghost: int = 0):
         self.smesh = smesh
         b = smesh.base
         # spectral/OU machinery shared with the uniform class (phases of
@@ -168,6 +169,10 @@ class FewModesFTSmr:
         self._ou = FewModesFT(b, num_modes, k_vec, k_peak, sol_weight,
                               t_corr, rseed)
         self.num_modes = num_modes
+        # ghost > 0: evaluate the analytic phases on ghost-extended
+        # index ranges too (the SMR analog of the uniform
+        # ``fill_ghosts``) — used by init_perturb's curl(A)
+        self.ghost = ghost
         self._phases = {lev: self._level_phases(lev)
                         for lev in smesh.level_ids}
 
@@ -178,10 +183,11 @@ class FewModesFTSmr:
         M = self.num_modes
         k_vec = self._ou.k_vec
         scale = 1 << lev
+        g = self.ghost
 
         def tab(axis, lx, mbn):
-            idx = np.arange(mbn)
-            out = np.empty((len(ids), mbn, M), dtype=np.complex128)
+            idx = np.arange(-g, mbn + g)
+            out = np.empty((len(ids), len(idx), M), dtype=np.complex128)
             gn = (b.nx1, b.nx2, b.nx3)[axis] * scale
             for li, gid in enumerate(ids):
                 frac = (int(lx[gid]) * mbn + idx) / gn

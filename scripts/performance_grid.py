@@ -202,11 +202,13 @@ def main():
     grid = "performance_grid.json"
     if args.mb_only and os.path.exists(grid):
         # merge: keep every existing row this run did not re-measure
-        new_keys = {(r["meshblock"], r.get("merged")) for r in results}
+        # (rows from before the merged-flag era count as unmerged)
+        new_keys = {(r["meshblock"], bool(r.get("merged")))
+                    for r in results}
         old = [r for r in json.load(open(grid))
                if r.get("mesh") == "refined"
                or r["meshblock"] == args.n
-               or (r["meshblock"], r.get("merged")) not in new_keys]
+               or (r["meshblock"], bool(r.get("merged"))) not in new_keys]
         results = old + results
     with open(grid, "w") as fh:
         json.dump(results, fh, indent=1)

@@ -217,3 +217,122 @@ def test_cloud_deck_adaptive_inflow():
     g = sm.base.nghost
     rho_ghost = np.asarray(sim.state[lev0])[edge, 0, g:-g, :g, g:-g]
     np.testing.assert_allclose(rho_ghost, cp.rho_wind, rtol=1e-12)
+
+
+def test_init_perturb_smr_matches_uniform_at_2x():
+    """`init_perturb` on a refined mesh (cluster.cpp:377-461): a FULLY
+    refined two-level mesh samples the same continuous few-modes
+    realization as the uniform mesh at 2x resolution — velocity,
+    magnetic field, and energy agree cell-by-cell; and the rms
+    normalization is exactly volume-weighted across levels."""
+    from athenapk_tpu.amr.driver import SmrSimulation
+    from athenapk_tpu.core.indices import IM1, IM2, IM3, IEN, IB1, IB3
+    from athenapk_tpu.driver import Simulation
+    from tests.test_agn_feedback import BASE
+
+    sigma_v, sigma_b = 7.5e-2, 2.5e-3
+    PERTURB = f"""
+<hydro>
+fluid = glmmhd
+
+<parthenon/time>
+nlim = 0
+
+<problem/cluster/init_perturb>
+sigma_v = {sigma_v}
+l_peak_v = 0.5
+num_modes_v = 10
+sol_weight_v = 1.0
+rseed_v = 3
+sigma_b = {sigma_b}
+k_peak_b = 4.0
+num_modes_b = 10
+rseed_b = 4
+"""
+    # uniform 32^3 (BASE's own mesh)
+    pin_u = ParameterInput.from_string(BASE + PERTURB)
+    sim_u = Simulation(pin_u, quiet=True)
+    m = sim_u.mesh
+    g = m.nghost
+    uu = np.asarray(sim_u.cons())
+    glob_u = uu[:, :, g:-g, g:-g, g:-g].reshape(
+        m.nb3, m.nb2, m.nb1, uu.shape[1], m.mbnx3, m.mbnx2, m.mbnx1
+    ).transpose(3, 0, 4, 1, 5, 2, 6).reshape(uu.shape[1], 32, 32, 32)
+
+    # fully-refined SMR: 16^3 base, everything at level 1 -> fine 32^3
+    smr_deck = BASE.replace("""<parthenon/mesh>
+nghost = 2
+nx1 = 32""", """<parthenon/mesh>
+refinement = static
+nghost = 2
+nx1 = 16""").replace("""nx2 = 32
+x2min""", """nx2 = 16
+x2min""").replace("""nx3 = 32
+x3min""", """nx3 = 16
+x3min""").replace("""<parthenon/meshblock>
+nx1 = 32
+nx2 = 32
+nx3 = 32""", """<parthenon/meshblock>
+nx1 = 8
+nx2 = 8
+nx3 = 8""") + """
+<parthenon/static_refinement0>
+x1min = -0.5
+x1max = 0.5
+x2min = -0.5
+x2max = 0.5
+x3min = -0.5
+x3max = 0.5
+level = 1
+""" + PERTURB
+    pin_s = ParameterInput.from_string(smr_deck)
+    sim_s = SmrSimulation(pin_s, quiet=True)
+    sm = sim_s.smesh
+    assert set(sim_s.state) == {1}, "expected a fully-refined mesh"
+    st = np.asarray(sim_s.state[1])
+    gb = sm.base.nghost
+    mb = sm.base.mbnx1
+    glob_s = np.empty_like(glob_u)
+    for li, gid in enumerate(sm.level_ids[1]):
+        ox = int(sm.lx1[gid]) * mb
+        oy = int(sm.lx2[gid]) * mb
+        oz = int(sm.lx3[gid]) * mb
+        glob_s[:, oz:oz + mb, oy:oy + mb, ox:ox + mb] = \
+            st[li, :, gb:-gb, gb:-gb, gb:-gb]
+
+    for c in (IM1, IM2, IM3, IB1, IB1 + 1, IB3, IEN):
+        scale = np.abs(glob_u[c]).max()
+        np.testing.assert_allclose(glob_s[c], glob_u[c],
+                                   rtol=0, atol=1e-9 * scale,
+                                   err_msg=f"component {c}")
+
+    # mixed-level normalization: rms is volume-weighted across levels
+    mixed = smr_deck.replace("""<parthenon/static_refinement0>
+x1min = -0.5
+x1max = 0.5
+x2min = -0.5
+x2max = 0.5
+x3min = -0.5
+x3max = 0.5""", """<parthenon/static_refinement0>
+x1min = -0.45
+x1max = -0.05
+x2min = -0.45
+x2max = -0.05
+x3min = -0.45
+x3max = -0.05""")
+    pin_m = ParameterInput.from_string(mixed)
+    sim_m = SmrSimulation(pin_m, quiet=True)
+    assert set(sim_m.state) == {0, 1}
+    v2_sum = 0.0
+    b2_sum = 0.0
+    for lev, u in sim_m.state.items():
+        ui = np.asarray(u)[:, :, gb:-gb, gb:-gb, gb:-gb]
+        d1, d2, d3 = sim_m.smesh.dx(lev)
+        vol = d1 * d2 * d3
+        rho = ui[:, 0]
+        v2_sum += float((((ui[:, IM1] / rho) ** 2 + (ui[:, IM2] / rho) ** 2
+                          + (ui[:, IM3] / rho) ** 2)).sum()) * vol
+        b2_sum += float((ui[:, IB1] ** 2 + ui[:, IB1 + 1] ** 2
+                         + ui[:, IB3] ** 2).sum()) * vol
+    assert abs(np.sqrt(v2_sum) - sigma_v) / sigma_v < 1e-12
+    assert abs(np.sqrt(b2_sum) - sigma_b) / sigma_b < 1e-12

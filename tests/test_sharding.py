@@ -184,3 +184,83 @@ def test_sharded_smr_step():
         assert out[k].sharding.spec == P("blocks")
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       np.asarray(ref[k]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_tracers_match_single_device():
+    """Sharded tracer advection (per-shard pools + ppermute handoff,
+    SURVEY swarms / hydro_driver.cpp:617-660) reproduces the
+    single-device global-sort migration BITWISE across many
+    shard-boundary crossings, and its lowering contains NO full-pool
+    all-gather/all-to-all — only the one-hop collective-permutes (plus
+    the scalar n_lost all-reduce)."""
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.parallel.mesh_sharding import make_device_mesh
+    from athenapk_tpu.tracers import Tracers
+    from athenapk_tpu.tracers.sharded import make_sharded_tracer_ops
+
+    mesh = Mesh(nx1=16, nx2=16, nx3=64, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2)
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="plm", integrator="rk2")
+    pin = ParameterInput.from_string("""
+<job>
+problem_id = advection
+<tracers>
+enabled = true
+initial_seed_method = random_per_block
+initial_num_tracers_per_cell = 0.05
+initial_rng_seed = 7
+""")
+    tr = Tracers(pin, mesh, cfg)
+    state = tr.seed()
+    assert state is not None
+
+    # constant-velocity prim: interp returns the exact velocities
+    nvar = 5
+    prim = np.zeros((mesh.nblocks, nvar) + mesh.block_shape)
+    prim[:, 0] = 1.0
+    prim[:, 1] = 0.30
+    prim[:, 2] = 0.15
+    prim[:, 3] = 0.45      # crosses a z shard boundary every ~3 steps
+    prim[:, 4] = 1.0
+    prim = jnp.asarray(prim)
+    state = tr.fill(state, prim)
+
+    dt = 0.2               # dz/step = 0.09 < block z extent 0.125
+    ref = {k: v for k, v in state.items()}
+    for _ in range(10):
+        ref = tr.advect(ref, prim, dt)
+        ref = tr.fill(ref, prim)
+
+    dmesh = make_device_mesh(jax.devices()[:8])
+    advect_fn, fill_fn = make_sharded_tracer_ops(tr, dmesh)
+    got = {k: v for k, v in state.items()}
+    for _ in range(10):
+        got = advect_fn(got, prim, jnp.asarray(dt))
+        got = fill_fn(got, prim)
+
+    def by_id(st):
+        act = np.asarray(st["active"]).ravel()
+        ids = np.asarray(st["id"]).ravel()[act]
+        order = np.argsort(ids)
+        return {k: np.asarray(v).ravel()[act][order]
+                for k, v in st.items() if k != "n_lost"}
+
+    a, b = by_id(ref), by_id(got)
+    assert int(np.asarray(got["n_lost"])) == 0
+    assert a["id"].size == b["id"].size > 0
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # collective audit: one-hop permutes only, no full-pool gathers
+    hlo = (jax.jit(advect_fn)
+           .lower(got, prim, jnp.asarray(dt)).compile().as_text())
+    assert "collective-permute" in hlo
+    assert "all-to-all" not in hlo
+    gathers = [ln for ln in hlo.splitlines()
+               if "all-gather" in ln and "all-gather-start" in ln
+               or ln.strip().startswith("%all-gather")
+               or " all-gather(" in ln]
+    assert not gathers, f"unexpected all-gather in lowering: {gathers[:3]}"
