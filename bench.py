@@ -348,6 +348,40 @@ def inner_main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     note = os.environ.get("_BENCH_NOTE", "tpu")
+    if os.environ.get("BENCH_CONFIG") == "combo":
+        # ONE process runs the production v1 rung and then the XLA A/B
+        # rung: the axon relay can stall a fresh client's first
+        # dispatch for many MINUTES (r4 post-mortem; ~40 min observed
+        # in r5), so paying that stall once and banking both numbers
+        # beats per-rung child processes.  The v1 JSON prints (and is
+        # parseable by the parent) BEFORE the XLA leg starts, so even a
+        # timeout mid-XLA keeps the headline.
+        n = int(os.environ.get("BENCH_N", "256"))
+        zcps, wall, counted, desc = run_bench(n, n, dtype="float32",
+                                              pallas=True)
+        log(f"combo v1 leg ok: {zcps:.4e} zone-cycles/s "
+            f"({counted} cycles in {wall:.2f}s)")
+        res = {
+            "metric": f"zone-cycles/s (3D MHD linear wave, HLLD+PPM+VL2,"
+                      f" float32, grid {desc} fused-sweep, "
+                      f"tpu v1 lane-sweep (production default))",
+            "value": zcps,
+            "unit": "zone-cycles/s",
+            "vs_baseline": zcps / A100_BASELINE_ZCPS,
+        }
+        print(json.dumps(res), flush=True)
+        try:
+            os.environ["ATHENAPK_PALLAS_SWEEP"] = "0"
+            z2, w2, c2, d2 = run_bench(n, n, dtype="float32",
+                                       pallas=False)
+            log(f"combo xla leg ok: {z2:.4e} zone-cycles/s")
+            res = dict(res)
+            res["xla_value"] = z2
+            res["xla_vs_baseline"] = z2 / A100_BASELINE_ZCPS
+            print(json.dumps(res), flush=True)
+        except Exception as e:  # noqa: BLE001
+            log(f"combo xla leg failed (headline already banked): {e}")
+        return 0
     if os.environ.get("BENCH_CONFIG") == "adaptive":
         zcps, wall, counted, desc = run_bench_adaptive(
             n=int(os.environ.get("BENCH_ADAPT_N", "64")),
@@ -433,14 +467,15 @@ def _run_child(env_overrides, timeout):
         stdout, stderr = fout.read(), ferr.read()
     for line in stderr.splitlines():
         log("  child:", line)
-    if timed_out:
-        return None
     for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
                 d = json.loads(line)
                 if d.get("value", 0) > 0:
+                    if timed_out:
+                        log("child timed out but had already banked a "
+                            "JSON result — using it")
                     return d
             except json.JSONDecodeError:
                 pass
@@ -501,6 +536,11 @@ def main():
     # room).  So: the PRODUCTION rung runs early with the largest cap,
     # and gets one retry if it fails.
     rungs = [
+        # combo: production v1 + XLA A/B in ONE child — pays the relay
+        # stall once; on success the separate xla/v1 rungs are skipped
+        ("tpu combo v1+xla", {"BENCH_CONFIG": "combo",
+                              "ATHENAPK_PALLAS_STAGE": "0",
+                              "ATHENAPK_PALLAS_V2": "0"}, 900),
         ("tpu xla", {"BENCH_PALLAS": "0"}, 200),
         ("tpu v1 lane-sweep (production default)",
          {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 600),
@@ -530,10 +570,13 @@ def main():
     f64_result = None
     adaptive_result = None
     retried = set()
+    skip = set()
     i = 0
     while i < len(rungs):
         note, env, cap = rungs[i]
         i += 1
+        if note in skip:
+            continue
         if not alive:
             break
         t_child = min(cap, remaining() - cpu_reserve)
@@ -544,7 +587,11 @@ def main():
         r = _run_child({"_BENCH_NOTE": note, **env}, t_child)
         if r is not None:
             log(f"rung '{note}': {r.get('value'):.3e} zc/s")
-            if env.get("BENCH_CONFIG") == "smr":
+            if env.get("BENCH_CONFIG") == "combo":
+                result = r
+                skip |= {"tpu xla",
+                         "tpu v1 lane-sweep (production default)"}
+            elif env.get("BENCH_CONFIG") == "smr":
                 smr_result = r
             elif env.get("BENCH_CONFIG") == "adaptive":
                 adaptive_result = r
