@@ -21,3 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The fast suite is COMPILE-dominated (refined-mesh geometries compile
+# for minutes); the persistent compilation cache makes repeat runs hit
+# disk — same mechanism the TPU path uses (.jax_cache).  Keyed on the
+# HLO, so source edits that change traced code invalidate naturally.
+os.makedirs("/root/repo/.jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -3,6 +3,7 @@ uncorrected higher-order update would need rescue (reference
 ``first_order_flux_correct`` option)."""
 
 import numpy as np
+import pytest
 
 from athenapk_tpu.config.parameter_input import ParameterInput
 from athenapk_tpu.core.indices import IDN, IPR
@@ -206,6 +207,7 @@ def test_fofc_mechanism_replaces_exactly_bad_faces():
     assert rho_bad <= 0.0 and rho_fix > 0.0
 
 
+@pytest.mark.slow
 def test_smr_strong_blast_fofc_positive_and_conservative():
     """The near-vacuum blast on a 2-level static mesh needs the DC+LLF
     rescue; the rescue runs BEFORE the coarse-fine restriction

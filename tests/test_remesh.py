@@ -6,6 +6,7 @@ rounding; a maxdensity-tagged advecting blob must stay refined where the
 blob is and the evolution must conserve mass through every remesh."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from athenapk_tpu.amr import SmrMesh
@@ -297,6 +298,7 @@ def test_smr_conduction_conserves_and_contracts():
     assert all(bool(jnp.isfinite(u).all()) for u in state.values())
 
 
+@pytest.mark.slow
 def test_smr_rkl2_matches_unsplit():
     """RKL2 super-time-stepping on the refined mesh: conserves energy
     through the coarse-fine-corrected diffusive operator and agrees
@@ -369,6 +371,7 @@ def test_smr_rkl2_matches_unsplit():
         assert diff / base_mag < 5e-3, (k, diff)
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_remesh_bitwise():
     """Adaptive evolution under GSPMD: AmrHydro(sharding=...) re-deals
     the leaf population over the device mesh after every remesh (the

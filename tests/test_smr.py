@@ -313,6 +313,7 @@ def test_smr_nonperiodic_bcs():
             s0[k][:, :, g:-g, g:-g, g:-g])
 
 
+@pytest.mark.slow
 def test_smr_advection_second_order():
     """Smooth advection through an x-facing coarse-fine interface
     converges at 2nd order in the base resolution (the region must be

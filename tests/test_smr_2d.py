@@ -98,6 +98,7 @@ def test_2d_smr_uniform_state_stays_uniform():
         np.testing.assert_allclose(ui[:, 1], 1.0, rtol=1e-12)  # rho*vx
 
 
+@pytest.mark.slow
 def test_2d_adaptive_blast():
     """2-D adaptive blast: pressure-gradient tagging refines at the
     shock, mass is conserved, fields stay finite."""

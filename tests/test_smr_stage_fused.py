@@ -73,6 +73,7 @@ def test_smr_stage_fused_matches_xla(monkeypatch):
     assert abs(m1s - m0s) / abs(m0s) < 1e-5
 
 
+@pytest.mark.slow
 def test_smr_stage_fused_with_prim_source(monkeypatch):
     """emit_prim path: a prim-consuming per-level source (cluster-style
     signature) sees the kernel-emitted prim; results match the XLA
@@ -97,6 +98,7 @@ def test_smr_stage_fused_with_prim_source(monkeypatch):
     _gate(base, st_x, st_s)
 
 
+@pytest.mark.slow
 def test_smr_stage_fused_glmmhd(monkeypatch):
     """GLM-MHD (9-var) with the Dedner psi epilogue outside the kernel."""
     import jax.numpy as jnp
@@ -215,6 +217,7 @@ def test_uniform_stage_extended_dedner_matches_xla(monkeypatch):
     assert rel < 1e-5, f"stage+extended-dedner rel={rel:.2e}"
 
 
+@pytest.mark.slow
 def test_smr_extended_dedner_matches_uniform_semantics(monkeypatch):
     """The refined-mesh driver honors glmmhd_source=dedner_extended
     (previously silently degraded to plain damping): XLA vs stage-fused
