@@ -103,6 +103,13 @@ gamma = 1.666666666666667
         f"zones={zones} blocks={sim.mesh.nblocks} "
         f"mb=({mb},{mby},{mby}) device={jax.devices()[0].platform}")
 
+    # absorb the relay's first-dispatch stall on a TINY op so the
+    # progress log shows whether a hang is the tunnel (stuck here) or
+    # a real compile/kernel problem (stuck after "estimating")
+    log("bench: first dispatch (tiny op) — a wedged axon tunnel stalls "
+        "HERE, sometimes for many minutes")
+    jnp.ones(8).sum().block_until_ready()
+    log("bench: device responsive; estimating")
     # warm-up cycles individually (compiles both graphs), then the
     # measured cycles as ONE on-device lax.scan call: zero host sync
     dt, dt_hyp = sim._estimate()
@@ -510,7 +517,11 @@ def main():
     # honors BENCH_TOTAL_BUDGET (default 1800 s) so the JSON line
     # always lands inside the driver's window.
     t0 = time.time()
-    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "1800"))
+    # 2700 s default: the axon relay's first-dispatch stall has been
+    # observed at 15-40 MINUTES when the tunnel is wedged (r5); r4's
+    # driver window accommodated a ~35-minute ladder, and the parent
+    # always emits a JSON line before the budget expires regardless.
+    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "2700"))
     cpu_reserve = int(os.environ.get("BENCH_CPU_TIMEOUT", "300"))
 
     def remaining():
@@ -540,7 +551,7 @@ def main():
         # stall once; on success the separate xla/v1 rungs are skipped
         ("tpu combo v1+xla", {"BENCH_CONFIG": "combo",
                               "ATHENAPK_PALLAS_STAGE": "0",
-                              "ATHENAPK_PALLAS_V2": "0"}, 900),
+                              "ATHENAPK_PALLAS_V2": "0"}, 1500),
         ("tpu xla", {"BENCH_PALLAS": "0"}, 200),
         ("tpu v1 lane-sweep (production default)",
          {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 600),
