@@ -222,6 +222,11 @@ density_ratio = 1.0
     import jax
     pin = ParameterInput.from_string(deck)
     sim = SmrSimulation(pin, quiet=True)
+    log("smr bench: first dispatch next (tiny op) — a wedged axon "
+        "tunnel stalls HERE")
+    import jax.numpy as _jnp
+    _jnp.ones(8).sum().block_until_ready()
+    log("smr bench: device responsive; warm-up cycles (compiles)")
     nleaves = int(sim.smesh.levels.size)
     zones_per_cycle = nleaves * mb ** 3
     log(f"smr bench: base {n}^3 mb {mb}^3, leaves "
@@ -309,7 +314,9 @@ density_ratio = 1.0
     import jax
     pin = ParameterInput.from_string(deck)
     sim = SmrSimulation(pin, quiet=True)
-    log(f"adaptive bench: base {n}^3 mb {mb}^3, initial leaves "
+    import jax.numpy as _jnp
+    _jnp.ones(8).sum().block_until_ready()
+    log(f"adaptive bench: device responsive; base {n}^3 mb {mb}^3, initial leaves "
         f"{ {k: len(v) for k, v in sim.smesh.level_ids.items()} } "
         f"device={jax.devices()[0].platform}")
     sim.run()                      # warm-up (compiles initial topologies)
@@ -377,17 +384,48 @@ def inner_main():
             "vs_baseline": zcps / A100_BASELINE_ZCPS,
         }
         print(json.dumps(res), flush=True)
+        res = dict(res)
         try:
             os.environ["ATHENAPK_PALLAS_SWEEP"] = "0"
             z2, w2, c2, d2 = run_bench(n, n, dtype="float32",
                                        pallas=False)
             log(f"combo xla leg ok: {z2:.4e} zone-cycles/s")
-            res = dict(res)
             res["xla_value"] = z2
             res["xla_vs_baseline"] = z2 / A100_BASELINE_ZCPS
             print(json.dumps(res), flush=True)
         except Exception as e:  # noqa: BLE001
             log(f"combo xla leg failed (headline already banked): {e}")
+        # side rungs ride the SAME process (every new client risks a
+        # relay stall; each leg's cumulative JSON print means a later
+        # fault can never lose an earlier number)
+        os.environ["ATHENAPK_PALLAS_SWEEP"] = "1"
+        try:
+            zs, ws, cs, ds = run_bench_smr(
+                n=int(os.environ.get("BENCH_SMR_N", "128")),
+                mb=int(os.environ.get("BENCH_SMR_MB", "32")))
+            log(f"combo smr leg ok: {zs:.4e} zone-cycles/s")
+            res["smr_metric"] = (
+                f"zone-cycles/s (3D hydro blast on a refined mesh, "
+                f"HLLE+PLM+VL2, float32, {ds}, tpu smr stage+faces)")
+            res["smr_value"] = zs
+            res["smr_vs_baseline"] = zs / A100_BASELINE_ZCPS
+            print(json.dumps(res), flush=True)
+        except Exception as e:  # noqa: BLE001
+            log(f"combo smr leg failed: {e}")
+        try:
+            za, wa, ca, da = run_bench_adaptive(
+                n=int(os.environ.get("BENCH_ADAPT_N", "64")),
+                mb=int(os.environ.get("BENCH_ADAPT_MB", "16")))
+            log(f"combo adaptive leg ok: {za:.4e} zone-cycles/s")
+            res["adaptive_metric"] = (
+                f"zone-cycles/s (3D hydro blast, ADAPTIVE remesh "
+                f"included, HLLE+PLM+VL2, float32, {da}, "
+                f"tpu adaptive blast)")
+            res["adaptive_value"] = za
+            res["adaptive_vs_baseline"] = za / A100_BASELINE_ZCPS
+            print(json.dumps(res), flush=True)
+        except Exception as e:  # noqa: BLE001
+            log(f"combo adaptive leg failed: {e}")
         return 0
     if os.environ.get("BENCH_CONFIG") == "adaptive":
         zcps, wall, counted, desc = run_bench_adaptive(
@@ -551,17 +589,17 @@ def main():
         # stall once; on success the separate xla/v1 rungs are skipped
         ("tpu combo v1+xla", {"BENCH_CONFIG": "combo",
                               "ATHENAPK_PALLAS_STAGE": "0",
-                              "ATHENAPK_PALLAS_V2": "0"}, 1500),
+                              "ATHENAPK_PALLAS_V2": "0"}, 2100),
         ("tpu xla", {"BENCH_PALLAS": "0"}, 200),
         ("tpu v1 lane-sweep (production default)",
          {"ATHENAPK_PALLAS_STAGE": "0", "ATHENAPK_PALLAS_V2": "0"}, 600),
         # refined-mesh rung (VERDICT r3 item 1): measured separately —
         # its value lands in the "smr" side-keys of the JSON line, never
         # competes with the headline keep-best
-        ("tpu smr stage+faces", {"BENCH_CONFIG": "smr"}, 420),
+        ("tpu smr stage+faces", {"BENCH_CONFIG": "smr"}, 600),
         # truly-adaptive rung (VERDICT r4 item 7): remesh cadence inside
         # the timed window; lands in the "adaptive" side-keys
-        ("tpu adaptive blast", {"BENCH_CONFIG": "adaptive"}, 480),
+        ("tpu adaptive blast", {"BENCH_CONFIG": "adaptive"}, 600),
         # emulated-f64 rung (VERDICT r3 item 6): the honest
         # f64-vs-f64-A100 number.  TPU f64 is software f32-pair
         # arithmetic with pathological compile times at 256^3, so this
@@ -602,6 +640,10 @@ def main():
                 result = r
                 skip |= {"tpu xla",
                          "tpu v1 lane-sweep (production default)"}
+                if "smr_value" in r:
+                    skip.add("tpu smr stage+faces")
+                if "adaptive_value" in r:
+                    skip.add("tpu adaptive blast")
             elif env.get("BENCH_CONFIG") == "smr":
                 smr_result = r
             elif env.get("BENCH_CONFIG") == "adaptive":
