@@ -399,6 +399,11 @@ def inner_main():
         # relay stall; each leg's cumulative JSON print means a later
         # fault can never lose an earlier number)
         os.environ["ATHENAPK_PALLAS_SWEEP"] = "1"
+        # the v1-leg pins (STAGE=0/V2=0) must NOT leak into the refined
+        # -mesh legs: STAGE=0 would disable the SMR stage+faces kernel
+        # (measured 4.7x: 1.7e7 vs 8.0e7 zc/s)
+        os.environ.pop("ATHENAPK_PALLAS_STAGE", None)
+        os.environ.pop("ATHENAPK_PALLAS_V2", None)
         try:
             zs, ws, cs, ds = run_bench_smr(
                 n=int(os.environ.get("BENCH_SMR_N", "128")),
