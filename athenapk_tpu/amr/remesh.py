@@ -420,6 +420,7 @@ class AmrHydro:
         self.derefine_count = max(1, int(derefine_count))
         self._deref_counts = {}
         self._steppers = {}
+        self._tag_fns = {}
         self._stepper = self._get_stepper()
 
     def _signature(self):
@@ -455,19 +456,36 @@ class AmrHydro:
         return st
 
     # ------------------------------------------------------------------ tags
+    def _tag_fn(self, shape):
+        """Jitted per-level-shape tag computation.  The eager version
+        dispatched each jnp op separately — over the remote TPU tunnel
+        that is one round trip PER OP per cycle, which dominated the
+        whole adaptive run (~7 s/cycle measured at the r5 adaptive
+        bench); jitted it is ONE dispatch per level per check."""
+        fn = self._tag_fns.get(shape)
+        if fn is None:
+            import jax as _jax
+            base = self.smesh.base   # static across remeshes
+
+            def f(u):
+                _, prim = cons_to_prim(self.eos, u, self.cfg.fluid,
+                                       self.cfg.nscalars)
+                t = check_refinement(self.refine_cfg, prim, base)
+                if self.problem_check is not None:
+                    t = jnp.maximum(t, self.problem_check(prim, base))
+                return t
+
+            fn = _jax.jit(f)
+            self._tag_fns[shape] = fn
+        return fn
+
     def compute_tags(self, state):
         """Global per-leaf tag array from the configured criterion."""
         sm = self.smesh
         state = self.exact_state(state)
         tags = np.zeros(sm.levels.size, np.int32)
         for lev, ids in sm.level_ids.items():
-            _, prim = cons_to_prim(self.eos, state[lev], self.cfg.fluid,
-                                   self.cfg.nscalars)
-            t = np.asarray(check_refinement(self.refine_cfg, prim,
-                                            sm.base))
-            if self.problem_check is not None:
-                t = np.maximum(t, np.asarray(
-                    self.problem_check(prim, sm.base)))
+            t = np.asarray(self._tag_fn(state[lev].shape)(state[lev]))
             tags[ids] = t
         return tags
 
