@@ -559,10 +559,18 @@ class SmrSimulation:
             print(f"mesh structure (cycle {self.ncycle}): "
                   + "; ".join(parts), flush=True)
 
+        pending_tags = None   # tags dispatched with the previous step
         while self.t < self.tlim and (self.nlim < 0
                                       or self.ncycle < self.nlim):
             if self.adaptive:
-                self.state, changed = self.driver.maybe_remesh(self.state)
+                # tags describe the post-previous-step state either way;
+                # the pipelined path dispatched them alongside that step
+                # so their read overlapped its execution
+                tags = (self.driver.assemble_tags(pending_tags)
+                        if pending_tags is not None else None)
+                pending_tags = None
+                self.state, changed = self.driver.maybe_remesh(self.state,
+                                                               tags)
                 n_remesh += bool(changed)
                 if changed and self.ncycle_out_mesh < 0 and not self.quiet:
                     print_mesh()
@@ -600,6 +608,10 @@ class SmrSimulation:
                                   t_dev,
                                   jnp.asarray(self.tlim, dtype=dtt))
                 self.state = st.step(self.state, pack[1], pack[2], t_dev)
+                if self.adaptive:
+                    # dispatch next cycle's refinement tags NOW — their
+                    # eventual read rides the same wait as the step
+                    pending_tags = self.driver.dispatch_tags(self.state)
                 vals = np.asarray(pack)
                 self.tm_dt = float(vals[0])
                 dt = float(vals[1])

@@ -479,20 +479,39 @@ class AmrHydro:
             self._tag_fns[shape] = fn
         return fn
 
-    def compute_tags(self, state):
-        """Global per-leaf tag array from the configured criterion."""
+    def dispatch_tags(self, state):
+        """Dispatch the per-level tag kernels WITHOUT reading: ->
+        [(leaf_ids, device_array)].  The pipelined driver calls this
+        right after the step dispatch; the blocking read then overlaps
+        the step's device execution instead of adding tunnel round
+        trips."""
         sm = self.smesh
         state = self.exact_state(state)
-        tags = np.zeros(sm.levels.size, np.int32)
-        for lev, ids in sm.level_ids.items():
-            t = np.asarray(self._tag_fn(state[lev].shape)(state[lev]))
-            tags[ids] = t
+        return [(ids, self._tag_fn(state[lev].shape)(state[lev]))
+                for lev, ids in sm.level_ids.items()]
+
+    def assemble_tags(self, parts):
+        """Blocking read of ``dispatch_tags`` results -> global array."""
+        tags = np.zeros(self.smesh.levels.size, np.int32)
+        for ids, dev in parts:
+            tags[ids] = np.asarray(dev)
         return tags
 
+    def compute_tags(self, state):
+        """Global per-leaf tag array from the configured criterion."""
+        return self.assemble_tags(self.dispatch_tags(state))
+
     # --------------------------------------------------------------- evolve
-    def maybe_remesh(self, state):
-        """Retag + remesh if any change; -> (state, changed?)."""
-        tags = self.compute_tags(state)
+    def maybe_remesh(self, state, tags=None):
+        """Retag + remesh if any change; -> (state, changed?).
+
+        ``tags``: optionally the precomputed global tag array for THIS
+        state (the pipelined driver computes tags on device right after
+        the step dispatch and reads them with the cycle's one blocking
+        fetch — the tags describe the same post-step state either way,
+        this just removes per-cycle tunnel round trips)."""
+        if tags is None:
+            tags = self.compute_tags(state)
         # apply derefinement counters (keyed by leaf location so they
         # survive remeshes of other blocks)
         sm = self.smesh
