@@ -256,7 +256,15 @@ def run_bench_adaptive(n: int = 64, mb: int = 16, ncycles: int = 40,
     any recompile a brand-new topology triggers (amortized only by the
     on-disk compile cache) — the number a user of ``refinement =
     adaptive`` actually sees.  Zone-cycles are totalled per cycle by
-    the driver loop (leaf counts change as the blast expands)."""
+    the driver loop (leaf counts change as the blast expands).
+
+    Measured breakdown (r5, this box): device step+dt+tags+read is
+    ~0.2 s/cycle; the dominant cost is JAX RETRACING the SMR step for
+    each brand-new leaf topology (~40 s of single-core Python tracing
+    per remesh; XLA binaries are disk-cached, traces are not) — 5
+    remeshes in the 30-cycle window -> ~7 s/cycle average.  Long runs
+    amortize this (steppers are cached per topology signature
+    in-process, and production topologies recur)."""
     import time as _time
 
     from athenapk_tpu.amr.driver import SmrSimulation
