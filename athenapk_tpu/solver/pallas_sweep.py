@@ -946,10 +946,17 @@ def _pick_pack(nblocks: int, lane_ext: int, nvar: int,
     wrap garbage of the unpacked kernel.
 
     Returns the smallest k that divides nblocks, makes k*lane_ext a
-    128 multiple, and fits the VMEM budget at the minimal (1, 8) tile
+    128 multiple, fits the VMEM budget at the minimal (1, 8) tile
     (the PADDED ``_slab_bytes`` footprint — the same accounting the
-    tile fitters use, so the pick can never out-promise them); 1 when
-    packing is impossible or pointless."""
+    tile fitters use, so the pick can never out-promise them), and
+    keeps the packed row width sane; 1 when packing is impossible or
+    pointless.
+
+    Width cap (r5, measured): packing 64 mb=64/g=3 blocks into ONE
+    4480-lane row LOSES 2x to the unpacked layout (2.63e7 vs 5.16e7
+    zc/s on device) — a single huge row collapses the kernel grid and
+    the padding it saves (70->128, 1.8x) cannot pay for it.  Packs are
+    capped at 1024 lanes (the validated mb=8 k=32 geometry is 384)."""
     import os as _o
     if _o.environ.get("ATHENAPK_PALLAS_PACK", "1") != "1":
         return 1
@@ -958,6 +965,8 @@ def _pick_pack(nblocks: int, lane_ext: int, nvar: int,
     for k in range(2, nblocks + 1):
         if nblocks % k or (k * lane_ext) % 128:
             continue
+        if k * lane_ext > 1024:
+            break
         if _slab_bytes(nvar, 1, 8, k * lane_ext, itemsize) > _VMEM_BUDGET:
             break
         return k

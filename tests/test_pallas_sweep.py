@@ -715,10 +715,10 @@ def test_pack_and_tile_decisions_pinned():
     # lane-packed multi-block test geometry (mb=8 g=2 -> 12, 64 blocks)
     assert _pick_pack(64, 12, 5) == 32
     # AMR-class ghosted row 64^3 g=3 -> lane_ext 70: the only exact k
-    # is 64 (35k = 0 mod 64), which FITS the padded minimal-tile budget
-    # (9.8 MB < 20 MB) -> one packed row of 4480 lanes
-    assert _pick_pack(64, 70, 9) == 64
-    assert _slab_bytes(9, 1, 8, 64 * 70) <= _VMEM_BUDGET
+    # is 64 (35k = 0 mod 64), giving ONE 4480-lane row — measured 2x
+    # SLOWER than unpacked (r5 A/B on device), so the 1024-lane width
+    # cap must reject it
+    assert _pick_pack(64, 70, 9) == 1
     # 128^3 g=3 -> 134 with 8 blocks: no exact k divides 8 -> unpacked
     assert _pick_pack(8, 134, 9) == 1
     # stage+faces bench row mb=32 g=2 -> 36: scored (non-exact) packing
