@@ -131,3 +131,47 @@ def test_merge_rejects_bad_mode():
     pin.apply_overrides(["parthenon/mesh/merge_blocks=sometimes"])
     with pytest.raises(ValueError, match="merge_blocks"):
         Simulation(pin, quiet=True)
+
+
+def test_merged_outputs_read_identically(tmp_path):
+    """A user reading dumps sees IDENTICAL global data whether the
+    solve merged blocks or not: the merged run writes one
+    mesh-spanning block, the phdf reader reassembles both layouts to
+    the same global array (the reference's reader contract —
+    LogicalLocations-driven reassembly)."""
+    import os
+    from athenapk_tpu.outputs.hdf5 import read_phdf
+
+    out_deck = DECK + """
+<parthenon/output0>
+file_type = hdf5
+dt = 0.02
+variables = prim
+"""
+
+    def run_in(sub, merge):
+        d = tmp_path / sub
+        d.mkdir()
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            pin = ParameterInput.from_string(out_deck)
+            pin.apply_overrides(
+                [f"parthenon/mesh/merge_blocks={merge}"])
+            Simulation(pin, quiet=True).run()
+        finally:
+            os.chdir(cwd)
+        dumps = sorted(p for p in d.iterdir()
+                       if p.name.endswith(".phdf"))
+        assert dumps, "no dumps written"
+        return dumps
+
+    da = run_in("blocked", "false")
+    db = run_in("merged", "true")
+    assert len(da) == len(db)
+    for pa, pb in zip(da, db):
+        a = read_phdf(str(pa))
+        b = read_phdf(str(pb))
+        fa, fb = a.flat("prim"), b.flat("prim")
+        assert fa.shape == fb.shape
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
