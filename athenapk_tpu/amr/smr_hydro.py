@@ -144,11 +144,16 @@ class SmrHydro:
         needs raw per-face fluxes everywhere, so it stays on the XLA
         path; FOFC runs as a per-level lax.cond rescue."""
         import os
-        # 3-D only for now: the ghosted 2-D faces variants of the fused
-        # kernels are not device-validated yet; 1-D/2-D refined meshes
-        # take the XLA path
+        # 3-D and (since r5) 2-D refined meshes run fused; the 2-D
+        # faces kernel exists only in the v2 family, so a forced
+        # ATHENAPK_PALLAS_V2=0 keeps 2-D on XLA.  1-D SMR stays on XLA
+        # (a lone lane sweep doesn't pay for a kernel).
+        b = self.smesh.base
         eligible = (self.cfg.riemann != "none" and self.diffusion is None
-                    and self.smesh.base.ndim == 3)
+                    and (b.ndim == 3
+                         or (b.ndim == 2
+                             and os.environ.get("ATHENAPK_PALLAS_V2")
+                             != "0")))
         knob = os.environ.get("ATHENAPK_PALLAS_SWEEP")
         if knob == "1":
             return eligible

