@@ -367,7 +367,7 @@ def inner_main():
     # runs hit disk
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     note = os.environ.get("_BENCH_NOTE", "tpu")
     if os.environ.get("BENCH_CONFIG") == "combo":

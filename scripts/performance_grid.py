@@ -28,6 +28,7 @@ else:
     jax.config.update("jax_enable_x64", True)
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # the reference grid (hydro + MHD method combos); block sizes adapted to
 # lane-aligned widths (padded NX = 128)

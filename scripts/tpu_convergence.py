@@ -24,7 +24,7 @@ os.environ.setdefault("ATHENAPK_PALLAS_SWEEP", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, "/root/repo")
 
 from athenapk_tpu.config.parameter_input import ParameterInput  # noqa: E402
