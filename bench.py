@@ -259,10 +259,12 @@ def run_bench_adaptive(n: int = 64, mb: int = 16, ncycles: int = 40,
     the driver loop (leaf counts change as the blast expands).
 
     Measured breakdown (r5, this box): device step+dt+tags+read is
-    ~0.2 s/cycle; the dominant cost is JAX RETRACING the SMR step for
-    each brand-new leaf topology (~40 s of single-core Python tracing
-    per remesh; XLA binaries are disk-cached, traces are not) — 5
-    remeshes in the 30-cycle window -> ~7 s/cycle average.  Long runs
+    ~0.2 s/cycle; the dominant cost is per-NEW-topology host work
+    (~21 s warm: jax re-trace of the step/fill graphs + executable
+    loads + stepper rebuild; first-ever visit adds remote compiles,
+    which persist to .jax_cache since min_compile_time=0 — that alone
+    was 16 s/remesh of sub-1s graphs being recompiled every run).  5
+    remeshes in the 30-cycle window -> ~4 s/cycle average.  Long runs
     amortize this (steppers are cached per topology signature
     in-process, and production topologies recur)."""
     import time as _time
