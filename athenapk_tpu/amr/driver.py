@@ -254,6 +254,8 @@ class SmrSimulation:
             rcfg = RefinementConfig.from_parameter_input(pin)
             self.driver = AmrHydro(
                 self.smesh, self.cfg, self.eos, rcfg,
+                check_interval=pin.get_or_add_integer(
+                    "parthenon/mesh", "check_interval", 1),
                 derefine_count=pin.get_or_add_integer(
                     "parthenon/mesh", "derefine_count", 10),
                 cooling=cooling, diffusion=diffusion,
@@ -562,7 +564,8 @@ class SmrSimulation:
         pending_tags = None   # tags dispatched with the previous step
         while self.t < self.tlim and (self.nlim < 0
                                       or self.ncycle < self.nlim):
-            if self.adaptive:
+            if self.adaptive and \
+                    self.ncycle % self.driver.check_interval == 0:
                 # tags describe the post-previous-step state either way;
                 # the pipelined path dispatched them alongside that step
                 # so their read overlapped its execution
@@ -608,7 +611,8 @@ class SmrSimulation:
                                   t_dev,
                                   jnp.asarray(self.tlim, dtype=dtt))
                 self.state = st.step(self.state, pack[1], pack[2], t_dev)
-                if self.adaptive:
+                if self.adaptive and (self.ncycle + 1) \
+                        % self.driver.check_interval == 0:
                     # dispatch next cycle's refinement tags NOW — their
                     # eventual read rides the same wait as the step
                     pending_tags = self.driver.dispatch_tags(self.state)
