@@ -138,15 +138,21 @@ def make_sharded_tracer_ops(tracers, dmesh, axis_name: str = "blocks"):
         routed, n_overflow = scatter_pool(fields, key, nb_local, cap)
         out = dict(state)
         out.update(routed)
+        # RAW local accumulation — _advect_local psums the cycle's
+        # whole n_lost delta once (domain-BC deactivations land on
+        # n_lost before migration, so the psum must cover both)
         lost = n_overflow + jnp.sum(stray).astype(jnp.int32)
-        out["n_lost"] = state["n_lost"] + lax.psum(lost, axis_name)
+        out["n_lost"] = state["n_lost"] + lost
         return out
 
     def _advect_local(state, prim_local, dt):
         idx = lax.axis_index(axis_name)
         org = _origins((idx * nb_local).astype(jnp.int32))
-        return tracers._advect_impl(state, prim_local, dt, origins=org,
-                                    migrate=_migrate_local)
+        n0 = state["n_lost"]
+        out = tracers._advect_impl(state, prim_local, dt, origins=org,
+                                   migrate=_migrate_local)
+        out["n_lost"] = n0 + lax.psum(out["n_lost"] - n0, axis_name)
+        return out
 
     def _fill_local(state, prim_local):
         idx = lax.axis_index(axis_name)

@@ -264,3 +264,61 @@ initial_rng_seed = 7
                or ln.strip().startswith("%all-gather")
                or " all-gather(" in ln]
     assert not gathers, f"unexpected all-gather in lowering: {gathers[:3]}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_tracers_nonperiodic_z_deactivation():
+    """Non-periodic z under sharding: particles leaving the domain are
+    deactivated (Parthenon swarm outflow behavior) on the shard where
+    they live, and never wrap through the ppermute ring."""
+    from athenapk_tpu.config.parameter_input import ParameterInput
+    from athenapk_tpu.parallel.mesh_sharding import make_device_mesh
+    from athenapk_tpu.tracers import Tracers
+    from athenapk_tpu.tracers.sharded import make_sharded_tracer_ops
+
+    mesh = Mesh(nx1=16, nx2=16, nx3=64, mbnx1=8, mbnx2=8, mbnx3=8,
+                x1min=0, x1max=1, x2min=0, x2max=1, x3min=0, x3max=1,
+                nghost=2, ix3_bc="outflow", ox3_bc="outflow")
+    cfg = HydroConfig(fluid="euler", riemann="hllc",
+                      reconstruction="plm", integrator="rk2")
+    pin = ParameterInput.from_string("""
+<job>
+problem_id = advection
+<tracers>
+enabled = true
+initial_seed_method = random_per_block
+initial_num_tracers_per_cell = 0.05
+initial_rng_seed = 11
+""")
+    tr = Tracers(pin, mesh, cfg)
+    state = tr.seed()
+    prim = np.zeros((mesh.nblocks, 5) + mesh.block_shape)
+    prim[:, 0] = 1.0
+    prim[:, 3] = 0.5          # +z drift toward the outflow face
+    prim[:, 4] = 1.0
+    prim = jnp.asarray(prim)
+    state = tr.fill(state, prim)
+    n0 = int(np.asarray(state["active"]).sum())
+
+    dmesh = make_device_mesh(jax.devices()[:8])
+    advect_fn, fill_fn = make_sharded_tracer_ops(tr, dmesh)
+    ref = {k: v for k, v in state.items()}
+    got = {k: v for k, v in state.items()}
+    for _ in range(12):           # 12 * 0.1 * 0.5 = 0.6 of the domain
+        ref = tr.advect(ref, prim, 0.1)
+        got = advect_fn(got, prim, jnp.asarray(0.1))
+    na_ref = int(np.asarray(ref["active"]).sum())
+    na_got = int(np.asarray(got["active"]).sum())
+    assert na_got == na_ref < n0, "outflow should deactivate leavers"
+    # deactivated count recorded identically
+    assert int(np.asarray(got["n_lost"])) == int(np.asarray(ref["n_lost"]))
+    # surviving particles identical
+    def by_id(st):
+        act = np.asarray(st["active"]).ravel()
+        ids = np.asarray(st["id"]).ravel()[act]
+        order = np.argsort(ids)
+        return {k: np.asarray(v).ravel()[act][order]
+                for k, v in st.items() if k != "n_lost"}
+    a, b = by_id(ref), by_id(got)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
