@@ -430,3 +430,77 @@ def test_sharded_adaptive_remesh_bitwise():
                                    np.asarray(ex_b[lev]),
                                    rtol=1e-12, atol=1e-13,
                                    err_msg=f"level {lev}")
+
+
+def test_check_interval_limits_remesh_cadence():
+    """parthenon/mesh/check_interval: refinement checks fire only every
+    N cycles on the deck-driven adaptive driver."""
+    from athenapk_tpu.amr.driver import SmrSimulation
+    from athenapk_tpu.config.parameter_input import ParameterInput
+
+    deck = """
+<job>
+problem_id = advection
+
+<problem/advection>
+vx = 1.0
+vy = 0.0
+vz = 0.0
+rho_ratio = 8.0
+rho_radius = 0.12
+rho0 = 1.0
+p0 = 1.0
+
+<parthenon/mesh>
+refinement = adaptive
+numlevel = 2
+check_interval = 4
+nghost = 2
+nx1 = 32
+x1min = -0.5
+x1max = 0.5
+nx2 = 16
+x2min = -0.25
+x2max = 0.25
+nx3 = 16
+x3min = -0.25
+x3max = 0.25
+
+<parthenon/meshblock>
+nx1 = 8
+nx2 = 8
+nx3 = 8
+
+<refinement>
+type = maxdensity
+maxdensity_refine_above = 3.0
+maxdensity_deref_below = 1.5
+
+<parthenon/time>
+integrator = rk2
+cfl = 0.3
+tlim = 1.0
+nlim = 6
+ncycle_out = 0
+
+<hydro>
+fluid = euler
+eos = adiabatic
+riemann = hllc
+reconstruction = plm
+gamma = 1.6666666666666667
+"""
+    pin = ParameterInput.from_string(deck)
+    sim = SmrSimulation(pin, quiet=True)
+    assert sim.driver.check_interval == 4
+    calls = []
+    orig = sim.driver.maybe_remesh
+
+    def spy(state, tags=None):
+        calls.append(sim.ncycle)
+        return orig(state, tags)
+
+    sim.driver.maybe_remesh = spy
+    sim.run()
+    # cycles 0 and 4 only (6 cycles, interval 4)
+    assert calls == [0, 4], calls
