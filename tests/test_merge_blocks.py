@@ -175,3 +175,85 @@ variables = prim
         fa, fb = a.flat("prim"), b.flat("prim")
         assert fa.shape == fb.shape
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_merged_tracers_match_blocked():
+    """Tracers on a merged ghost-free mesh (single block, cyclic-wrap
+    interpolation) reproduce the blocked run's trajectories exactly.
+    Seeding itself is decomposition-dependent (per-block RNG streams —
+    reference behavior, tracers.cpp:95-167), so the merged run is
+    handed the BLOCKED run's initial particle population and must
+    advect it identically."""
+    import jax.numpy as jnp
+
+    tr_deck = DECK.replace("problem_id = linear_wave_mhd",
+                           "problem_id = advection").replace(
+        """<problem/linear_wave>
+compute_error = false
+wave_flag = 0
+amp = 1.0e-3
+vflow = 0.0""",
+        """<problem/advection>
+vx = 1.0
+vy = 0.5
+vz = 0.25
+rho_ratio = 0.0
+rho_radius = 0.0
+rho0 = 1.0
+p0 = 1.0""").replace("""<hydro>
+fluid = glmmhd
+eos = adiabatic
+riemann = hlld
+reconstruction = ppm""", """<hydro>
+fluid = euler
+eos = adiabatic
+riemann = hllc
+reconstruction = plm""").replace("nghost = 3", "nghost = 2").replace(
+        "nlim = 3", "nlim = 12") + """
+<tracers>
+enabled = true
+initial_seed_method = random_per_block
+initial_num_tracers_per_cell = 0.05
+initial_rng_seed = 5
+"""
+
+    def make(merge):
+        pin = ParameterInput.from_string(tr_deck)
+        pin.apply_overrides([f"parthenon/mesh/merge_blocks={merge}"])
+        return Simulation(pin, quiet=True)
+
+    a = make("false")
+    b = make("true")
+    assert b.mesh.nblocks == 1 and b.mesh.nghost == 0
+
+    # hand the blocked seed to the merged run (one block owns all)
+    st_a = a.tracer_state
+    act = np.asarray(st_a["active"]).ravel()
+    n = int(act.sum())
+    st_b = {}
+    for k, v in st_a.items():
+        if k == "n_lost":
+            st_b[k] = jnp.zeros((), jnp.int32)
+            continue
+        q = np.asarray(v)
+        st_b[k] = jnp.asarray(
+            q.reshape((q.shape[0] * q.shape[1],) + q.shape[2:])[act]
+            [None])                       # [1, n, ...]
+    b.tracer_state = st_b
+    b.tracers.cap = n
+
+    a.run()
+    b.run()
+
+    def by_id(st):
+        m = np.asarray(st["active"]).ravel()
+        ids = np.asarray(st["id"]).ravel()[m]
+        order = np.argsort(ids)
+        return {k: np.asarray(v).ravel()[m][order]
+                for k, v in st.items() if k != "n_lost"}
+
+    sa, sb = by_id(a.tracer_state), by_id(b.tracer_state)
+    assert sa["id"].size == sb["id"].size == n > 0
+    for k in ("x", "y", "z", "rho", "vel_x"):
+        np.testing.assert_allclose(sa[k], sb[k], rtol=0, atol=1e-13,
+                                   err_msg=k)
